@@ -1,0 +1,179 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+import graft.html.{Elem, HtmlParser}
+import graft.model._
+
+/** The extraction kernel: one pure, deterministic, executor-local function
+  * `extract(html: Array[Byte], text: String): ExtractResult` — the Spark-side
+  * equivalent of the reference's whole per-file pipeline
+  * (file_converter.py:64-100 -> powerpoint_processor.py:205-243), per
+  * SURVEY.md §2.2 "the whole extraction kernel becomes one typed per-row
+  * function". No subprocesses, no temp files (eliminates S5/S11 by design).
+  *
+  * Error semantics = R1 (file_converter.py:99-100): any exception yields the
+  * `text` column as fallback output plus a non-null `error`; the job never
+  * fails on a bad document. Empty-parse fallback = R2
+  * (powerpoint_processor.py:196-203): error stays null, output falls back to
+  * the plain `text` column.
+  */
+object Extractor {
+
+  def extract(html: Array[Byte], text: String): ExtractResult = {
+    try {
+      if (html == null || html.isEmpty) return fallback(text, null)
+      if (isPdf(html)) return graft.pdf.PdfExtract.extract(html, text)
+      val dom = HtmlParser.parse(new String(html, StandardCharsets.UTF_8))
+      extractHtml(dom, text)
+    } catch {
+      case e: Throwable =>
+        fallback(text, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+  }
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  private[graft] def fallback(text: String, error: String): ExtractResult = {
+    val t = Option(text).getOrElse("")
+    val spans = if (t.isEmpty) Vector.empty[Span] else Vector(Span(0, t.length, "fallback"))
+    ExtractResult(t, spans, Vector.empty, DocMeta.empty, Vector.empty, error)
+  }
+
+  def extractHtml(dom: Elem, textFallback: String): ExtractResult = {
+    val meta0 = metadataOf(dom)
+    val body = dom.find("body").getOrElse(dom)
+    // readability-style root preference: <main> / <article> when present
+    val contentRoot =
+      body.find("main").orElse(body.find("article")).getOrElse(body)
+    val pageEls = collectPages(contentRoot)
+    val pages: Vector[PageBlocks] =
+      if (pageEls.nonEmpty)
+        pageEls.zipWithIndex.map { case (el, i) => PageBlocks(i + 1, BlockWalker.walk(el)) }
+      else Vector(PageBlocks(1, BlockWalker.walk(contentRoot)))
+
+    val meta = meta0.copy(pageCount = pages.size)
+    val (extractedText, spans) = assemble(pages)
+    if (extractedText.isEmpty) {
+      // R2 strategy fallback: rich parse produced nothing -> plain text column
+      val fb = fallback(textFallback, null)
+      return fb.copy(meta = meta)
+    }
+    val links = collectLinks(pages)
+    val scores = StructureScore.allPages(pages)
+    ExtractResult(extractedText, spans, links, meta, scores, null)
+  }
+
+  /** Multi-page docs: <section class="page"> elements (shallowest wins);
+    * the analog of the reference's slide explode (F2). */
+  private def collectPages(root: Elem): Vector[Elem] = {
+    val out = new ArrayBuffer[Elem]()
+    def go(el: Elem): Unit = el.children.foreach {
+      case e: Elem =>
+        if (e.tag == "section" && hasClassToken(e, "page")) out += e
+        else go(e)
+      case _ => ()
+    }
+    go(root)
+    out.toVector
+  }
+
+  private def hasClassToken(e: Elem, token: String): Boolean =
+    e.attr("class").split("\\s+").contains(token)
+
+  /** Document assembly (markdown_converter.py:14-70, X15): page markers
+    * exactly `\n<!-- Page N -->\n` (the reference's Slide marker, :28, with
+    * our page container word), parts joined with "\n\n", empty parts
+    * filtered. Span offsets are tracked during assembly — sorted and
+    * non-overlapping by construction.
+    */
+  private def assemble(pages: Vector[PageBlocks]): (String, Vector[Span]) = {
+    val sb = new StringBuilder
+    val spans = Vector.newBuilder[Span]
+    var first = true
+    def appendPart(part: String, kind: String): Unit = {
+      if (part.nonEmpty) {
+        if (!first) sb.append("\n\n")
+        first = false
+        val start = sb.length
+        sb.append(part)
+        spans += Span(start, sb.length, kind)
+      }
+    }
+    pages.foreach { page =>
+      appendPart(s"\n<!-- Page ${page.pageNumber} -->\n", "page_marker")
+      page.blocks.foreach { b =>
+        val md = Markdown.blockToMarkdown(b)
+        if (md.nonEmpty) appendPart(md, spanKind(b))
+      }
+    }
+    (sb.toString, spans.result())
+  }
+
+  private def spanKind(b: Block): String = b match {
+    case t: TextBlock =>
+      if (t.role == "title") "title"
+      else if (t.role == "subtitle") "subtitle"
+      else if (t.paragraphs.exists(p => p.hints.isBullet || p.hints.isNumbered)) "list"
+      else if (t.paragraphs.exists(_.hints.likelyHeading)) "heading"
+      else "paragraph"
+    case _: TableBlock => "table"
+    case _: ImageBlock => "image"
+  }
+
+  /** Links relation: per-paragraph run merge by target in run order (W3,
+    * hyperlink_extractor.py:72-116), then keep-longest dedup per
+    * (target, page) (D2, :172-195). Image-block hyperlinks contribute with
+    * the alt text as anchor (the reference's click-action links analog).
+    */
+  private def collectLinks(pages: Vector[PageBlocks]): Vector[LinkRow] = {
+    val raw = new ArrayBuffer[LinkRow]()
+    pages.foreach { page =>
+      page.blocks.foreach {
+        case t: TextBlock =>
+          t.paragraphs.foreach { para =>
+            // merge run texts sharing the same target, preserving run order
+            val merged = scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+            para.runs.foreach { r =>
+              if (r.hyperlink.nonEmpty && r.text.nonEmpty)
+                merged.getOrElseUpdate(r.hyperlink, new StringBuilder).append(r.text)
+            }
+            merged.foreach { case (target, anchor) =>
+              raw += LinkRow("", page.pageNumber, anchor.toString, target)
+            }
+          }
+        case i: ImageBlock if i.hyperlink.nonEmpty =>
+          raw += LinkRow("", page.pageNumber, i.altText, i.hyperlink)
+        case _ => ()
+      }
+    }
+    Links.dedupKeepLongest(raw.toSeq)
+  }
+
+  /** M1 analog (metadata_extractor.py:58-109): <title>, <meta
+    * name=author|description|keywords>, html lang attribute. */
+  private def metadataOf(dom: Elem): DocMeta = {
+    val htmlEl = dom.find("html")
+    val head = dom.find("head")
+    val title = head.flatMap(_.find("title")).orElse(dom.find("title"))
+      .map(t => t.rawText.trim.replaceAll("\\s+", " ")).getOrElse("")
+    var author = ""; var description = ""; var keywords = ""
+    val metaScope = head.getOrElse(dom)
+    (Iterator.single(metaScope) ++ metaScope.descendants).foreach { e =>
+      if (e.tag == "meta") {
+        val name = e.attr("name").toLowerCase
+        val content = e.attr("content")
+        name match {
+          case "author"      => if (author.isEmpty) author = content
+          case "description" => if (description.isEmpty) description = content
+          case "keywords"    => if (keywords.isEmpty) keywords = content
+          case _             => ()
+        }
+      }
+    }
+    DocMeta(title, author, description, keywords,
+      htmlEl.map(_.attr("lang")).getOrElse(""), 0)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.model
+
+/** Core data model (SURVEY.md §1.3).
+  *
+  * The input table shape is fixed by BASELINE.json `input_hint`:
+  * `pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)`.
+  * The output invariant is `extracted(url, extracted_text, spans, error)` with
+  * byte-identical `extracted_text` per url (BASELINE.json north_rule).
+  *
+  * Reference shapes these mirror (reference = scottish-james/full-text-extractor-v6,
+  * read-only at /root/reference):
+  *  - Document           -> PageRow            (src/converters/file_converter.py:64-100)
+  *  - content block      -> Block              (src/processors/powerpoint/content_extractor.py:17-100)
+  *  - paragraph/run      -> Paragraph/Run      (src/processors/powerpoint/text_processor.py:26-62)
+  *  - hyperlink record   -> LinkRow            (src/converters/hyperlink_extractor.py:61-65)
+  *  - metadata record    -> DocMeta            (src/processors/powerpoint/metadata_extractor.py:58-109)
+  *  - diagram score      -> PageScore          (src/processors/powerpoint/diagram_analyzer.py:456-463)
+  */
+final case class PageRow(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** Char-offset span into `extracted_text`; sorted, non-overlapping. */
+final case class Span(start: Int, end: Int, kind: String)
+
+/** One formatted run inside a paragraph.
+  * Mirrors text_processor.py:373-421 `{text, bold, italic, hyperlink}`. */
+final case class Run(text: String, bold: Boolean, italic: Boolean, hyperlink: String) {
+  def isEmpty: Boolean = text.isEmpty
+}
+
+/** Paragraph hints; mirrors text_processor.py:443-475 (plain-text fallback defaults). */
+final case class Hints(
+    bulletLevel: Int,       // -1 = none (text_processor.py:254-285)
+    isBullet: Boolean,
+    isNumbered: Boolean,
+    shortText: Boolean,     // len < 100
+    allCaps: Boolean,
+    likelyHeading: Boolean  // 0 < len < 80
+)
+
+object Hints {
+  val none: Hints = Hints(-1, isBullet = false, isNumbered = false,
+    shortText = false, allCaps = false, likelyHeading = false)
+
+  /** Port of text_processor.py:443-475 `_analyze_plain_text_hints`. */
+  def ofPlainText(text: String): Hints = {
+    val stripped = text.trim
+    Hints(
+      bulletLevel = -1, isBullet = false, isNumbered = false,
+      shortText = stripped.length < 100,
+      allCaps = stripped.nonEmpty && stripped == stripped.toUpperCase &&
+        stripped.exists(_.isLetter),
+      likelyHeading = stripped.nonEmpty && stripped.length < 80
+    )
+  }
+}
+
+final case class Paragraph(cleanText: String, runs: Vector[Run], hints: Hints)
+
+/** Tagged-union content block (Spark mapping: sparse struct with `blockType`
+  * discriminator, SURVEY.md §1.3). Only the fields of the active variant are
+  * populated. Roles mirror accessibility_extractor_v2.py:216-231. */
+sealed trait Block { def role: String }
+final case class TextBlock(role: String, paragraphs: Vector[Paragraph]) extends Block
+final case class TableBlock(role: String, data: Vector[Vector[String]]) extends Block
+final case class ImageBlock(role: String, altText: String, hyperlink: String) extends Block
+
+final case class PageBlocks(pageNumber: Int, blocks: Vector[Block])
+
+/** Hyperlink relation row (hyperlink_extractor.py:61-65 analog). */
+final case class LinkRow(url: String, page: Int, anchor: String, target: String)
+
+/** Document metadata struct (HTML analog of metadata_extractor.py:58-109):
+  * <title>, <meta name=author|description|keywords>, lang attr, page count. */
+final case class DocMeta(
+    title: String,
+    author: String,
+    description: String,
+    keywords: String,
+    htmlLang: String,
+    pageCount: Int
+)
+
+object DocMeta {
+  val empty: DocMeta = DocMeta("", "", "", "", "", 0)
+}
+
+/** Per-page structure score (diagram_analyzer.py:456-463 analog). */
+final case class PageScore(
+    page: Int,
+    totalScore: Int,
+    probability: Int,
+    reasons: Vector[String],
+    blockCount: Int,
+    bulletCount: Int
+)
+
+/** Result of extracting one page row. `error` non-null => fallback path was
+  * used (file_converter.py:99-100 error-isolation semantics: never fail). */
+final case class ExtractResult(
+    extractedText: String,
+    spans: Vector[Span],
+    links: Vector[LinkRow],
+    meta: DocMeta,
+    scores: Vector[PageScore],
+    error: String // null when clean
+)
+
+/** Output row of the extraction pipeline (FIXTURES.md §2). */
+final case class ExtractedDoc(
+    url: String,
+    extracted_text: String,
+    spans: Seq[Span],
+    error: String
+)

@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data pipeline operators (builder mandate): exact and
+  * near deduplication, similarity search over embeddings, and text analysis —
+  * each as a `queries()` entry, DuckDB-oracled where the math is engine-
+  * portable (integer/string exact; single-division ratios), rows-only where
+  * it depends on an engine-specific hash (xxhash64 minhash/simhash/LSH).
+  *
+  * Scale notes: every oracle-able query is also written to scale — hash
+  * groupBys (map-side combinable), shingle-bucket joins (shuffle on shingle,
+  * the standard MinHash-LSH plan), broadcastable query sets for ANN.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def toks(c: Column): Column = filter(split(c, " "), x => length(x) > 0)
+
+  /** cosine(a, b) with double accumulation; arrays are float32 at rest. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** word k-shingles of the token array (whole text if shorter than k). */
+  private def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(1), size(tokens) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*)))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact dedup: content-hash groupBy, keep first id ------------------
+    "dd_exact" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir)
+        .withColumn("fp", md5(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+        .select(col("fp"), col("keep_id"), col("n_dups"))
+        .orderBy("fp")
+    }),
+
+    // ---- unigram-Jaccard near-dup (oracle-able: int-ratio math) ------------
+    "dd_jaccard" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
+        .withColumn("tn", size(col("tset")))
+      val tok = d.select(col("doc_id"), col("tn"), explode(col("tset")).as("token"))
+      val a = tok.select(col("doc_id").as("a_id"), col("tn").as("a_n"), col("token"))
+      val b = tok.select(col("doc_id").as("b_id"), col("tn").as("b_n"), col("token"))
+      a.join(b, Seq("token"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- MinHash + LSH banding near-dup (engine-hash; rows-only check) -----
+    // 16 minhashes over 3-gram shingles, 4 bands x 4 rows; candidate pairs =
+    // docs sharing a band bucket. The 100 TB plan: shuffle keyed on
+    // (band, bucket) only — no all-pairs stage ever materializes.
+    "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
+      val nHashes = 16
+      val bandRows = 4
+      val d = docs(s, dir)
+        .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+      val withSig = d.select(
+        col("doc_id"),
+        array((0 until nHashes).map(j =>
+          array_min(transform(col("sh"), x => xxhash64(x, lit(j))))): _*).as("sig"))
+      val bands = withSig.select(
+        col("doc_id"),
+        explode(array((0 until nHashes / bandRows).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until bandRows).map(r => element_at(col("sig"), b * bandRows + r + 1)): _*)
+              .as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val x = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      val y = bands.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+      x.join(y, Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- SimHash fingerprint (engine-hash; rows-only check) ----------------
+    // 64-bit simhash: sign-sum of token-hash bits; near-dups share all 4
+    // 16-bit bands -> same scalable bucket-join pattern as MinHash.
+    "dd_simhash" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .withColumn("hashes", transform(col("t"), x => xxhash64(x)))
+      // per bit b: popcount-style vote; bit set iff #ones*2 > #tokens
+      val bitCols = (0 until 64).map { b =>
+        val ones = aggregate(col("hashes"), lit(0),
+          (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
+        when(ones * 2 > size(col("hashes")), shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      val bandCols = (0 until 4).map(band =>
+        shiftright(col("simhash"), band * 16).bitwiseAND(0xffffL).as(s"band_$band"))
+      d.withColumn("simhash", bitCols.reduce((x, y) => x.bitwiseOR(y)))
+        .select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- brute-force cosine ANN top-k (the correctness baseline) -----------
+    "ann_topk" -> ((s: SparkSession, dir: String) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("sim", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cand_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; engine-hash; rows-only check) -------
+    // Random-hyperplane signs via per-dimension xxhash64-derived weights;
+    // 12-bit signatures bucket the corpus; queries probe their own bucket.
+    "ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val nBits = 6 // 64 buckets — sized so small corpora still populate buckets
+      def sigOf(e: Column): Column = {
+        val bits = (0 until nBits).map { p =>
+          // deterministic pseudo-hyperplane: weight(d) = hash(p, d) mapped to ±1
+          val dotSign = aggregate(
+            zip_with(e, sequence(lit(0), size(e) - 1),
+              (v, i) => v.cast("double") *
+                when(pmod(xxhash64(lit(p), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+            lit(0.0), (acc, v) => acc + v)
+          when(dotSign > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+        }
+        bits.reduce((x, y) => x.bitwiseOR(y))
+      }
+      val e = embs(s, dir).withColumn("sig", sigOf(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("sig"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("sig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      c.join(broadcast(q), Seq("sig"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("sim", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cand_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- language ID: stopword-vote n-gram heuristic (oracle-able) ---------
+    "ta_langid" -> ((s: SparkSession, dir: String) => {
+      def hits(words: Seq[String]): Column =
+        size(filter(toks(col("text")), x => x.isin(words: _*)))
+      docs(s, dir)
+        .withColumn("en_n", hits(Seq("the", "a", "and", "of")))
+        .withColumn("de_n", hits(Seq("der", "die", "das", "und")))
+        .withColumn("fr_n", hits(Seq("le", "la", "les", "et")))
+        .withColumn("es_n", hits(Seq("el", "los", "las", "y")))
+        .withColumn("lang_pred",
+          when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+            col("en_n") >= col("es_n"), "en")
+            .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
+            .when(col("fr_n") >= col("es_n"), "fr")
+            .otherwise("es"))
+        .select(col("doc_id"), col("en_n"), col("de_n"), col("fr_n"), col("es_n"),
+          col("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality scoring: length/diversity ratios (oracle-able) ------------
+    "ta_quality" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("bigint"))
+        .withColumn("n_distinct", size(array_distinct(col("t"))).cast("bigint"))
+        .withColumn("ttr",
+          round(col("n_distinct").cast("double") / col("n_tokens"), 4))
+        .withColumn("mean_tok_len",
+          round(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / col("n_tokens"), 4))
+        .withColumn("quality_score",
+          (when(col("n_tokens") >= 30, 40).otherwise(0) +
+            when(col("ttr") >= 0.5, 40).when(col("ttr") >= 0.3, 20).otherwise(0) +
+            when(col("mean_tok_len") >= 3.5, 20).otherwise(0)).cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("ttr"),
+          col("mean_tok_len"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting: whitespace + regex tokenizer (oracle-able) --------
+    "ta_tokcount" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("bigint").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("bigint").as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprinting: normalized md5 (oracle-able) -------------
+    "ta_fingerprint" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT fp, keep_id, n_dups FROM (
+        |  SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |         COUNT(*) AS n_dups
+        |  FROM documents GROUP BY 1)
+        |WHERE n_dups > 1 ORDER BY fp""".stripMargin,
+    "dd_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text,' '),
+        |         x -> LENGTH(x) > 0)) AS tset
+        |  FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT doc_id, LEN(tset) AS tn, UNNEST(tset) AS token FROM d)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter,
+        |       ROUND(COUNT(*)::DOUBLE / (a.tn + b.tn - COUNT(*)), 4) AS jaccard
+        |FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.tn, b.tn
+        |HAVING COUNT(*)::DOUBLE / (a.tn + b.tn - COUNT(*)) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ann_topk" ->
+      """SELECT query_id, rank, cand_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(q.embedding, c.embedding) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ta_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |   CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x IN ('the','a','and','of'))) AS INT) AS en_n,
+        |   CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x IN ('der','die','das','und'))) AS INT) AS de_n,
+        |   CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x IN ('le','la','les','et'))) AS INT) AS fr_n,
+        |   CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x IN ('el','los','las','y'))) AS INT) AS es_n
+        |  FROM documents)
+        |SELECT doc_id, en_n, de_n, fr_n, es_n,
+        |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |       WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |       WHEN fr_n >= es_n THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "ta_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text,' '), x -> LENGTH(x) > 0) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
+        |    CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS n_distinct,
+        |    ROUND(LEN(LIST_DISTINCT(t))::DOUBLE / LEN(t), 4) AS ttr,
+        |    ROUND(LIST_SUM(LIST_TRANSFORM(t, x -> LENGTH(x)))::DOUBLE / LEN(t), 4) AS mean_tok_len
+        |  FROM d)
+        |SELECT doc_id, n_tokens, n_distinct, ttr, mean_tok_len,
+        |  CAST((CASE WHEN n_tokens >= 30 THEN 40 ELSE 0 END) +
+        |       (CASE WHEN ttr >= 0.5 THEN 40 WHEN ttr >= 0.3 THEN 20 ELSE 0 END) +
+        |       (CASE WHEN mean_tok_len >= 3.5 THEN 20 ELSE 0 END) AS INT) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "ta_tokcount" ->
+      """SELECT doc_id,
+        | CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> LENGTH(x) > 0)) AS BIGINT) AS ws_tokens,
+        | CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id, md5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

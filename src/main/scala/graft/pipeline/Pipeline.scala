@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.synth.Synth
+
+/** The Spark program (SURVEY.md §7.1 module 6): pages scan -> skew-aware
+  * repartition -> extraction kernel -> extracted / links / metrics outputs.
+  *
+  * Scale design notes (the 100 TB story):
+  *  - The whole reference pipeline is ONE narrow map stage — no shuffle on
+  *    the extraction path (SURVEY.md §3.1). Filters/projections stay Catalyst
+  *    expressions so parquet pushdown + column pruning hold.
+  *  - Parallelism = input partitions; skew = payload-size + hot-domain skew,
+  *    handled by `saltedBucket` (explicit salting of hot domains, the
+  *    BASELINE.json north_rule requirement).
+  *  - The kernel is allocation-lean and compiled once per executor (all
+  *    regexes are statics — unlike the reference, which recompiles per call,
+  *    e.g. text_processor.py:441).
+  */
+object Pipeline {
+
+  /** Flat output row for the extraction UDF (nested arrays of structs). */
+  final case class SpanOut(start: Int, end: Int, kind: String)
+  final case class LinkOut(page: Int, anchor: String, target: String)
+  final case class ScoreOut(page: Int, total_score: Int, probability: Int,
+      block_count: Int, bullet_count: Int)
+  final case class ExtractOut(
+      extracted_text: String,
+      spans: Seq[SpanOut],
+      links: Seq[LinkOut],
+      title: String, author: String, description: String, keywords: String,
+      html_lang: String, page_count: Int,
+      scores: Seq[ScoreOut],
+      error: String)
+
+  def extractOut(html: Array[Byte], text: String): ExtractOut = {
+    val r = graft.extract.Extractor.extract(html, text)
+    ExtractOut(
+      r.extractedText,
+      r.spans.map(s => SpanOut(s.start, s.end, s.kind)),
+      r.links.map(l => LinkOut(l.page, l.anchor, l.target)),
+      r.meta.title, r.meta.author, r.meta.description, r.meta.keywords,
+      r.meta.htmlLang, r.meta.pageCount,
+      r.scores.map(s => ScoreOut(s.page, s.totalScore, s.probability, s.blockCount, s.bulletCount)),
+      r.error)
+  }
+
+  /** Synthesize the `pages` table (input_hint shape) from the driver's
+    * `documents` seed table — deterministic, seeded, no external data. */
+  def pages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) => Synth.pageFor(id, text, lang) }
+      .toDF()
+  }
+
+  /** The extraction map stage: one narrow Project over the scan. The kernel
+    * is exposed as a deterministic, null-tolerant Scala UDF (SURVEY.md §2.2:
+    * UDF for composability; Expression wrapper is optional polish). */
+  def extracted(pages: DataFrame): DataFrame = {
+    // deterministic UDF (the default) — lets Catalyst prune/push around it
+    val u = udf((html: Array[Byte], text: String) => extractOut(html, text))
+    pages
+      .withColumn("r", u(col("html"), col("text")))
+      .select(col("url"), col("warc_ts"), col("lang"),
+        col("r.extracted_text").as("extracted_text"),
+        col("r.spans").as("spans"),
+        col("r.links").as("links"),
+        struct(col("r.title").as("title"), col("r.author").as("author"),
+          col("r.description").as("description"), col("r.keywords").as("keywords"),
+          col("r.html_lang").as("html_lang"), col("r.page_count").as("page_count")
+        ).as("meta"),
+        col("r.scores").as("scores"),
+        col("r.error").as("error"))
+  }
+
+  /** Links relation: explode the per-doc link arrays into the flat
+    * (url, page, anchor, target) table (FIXTURES.md §2). */
+  def linksTable(extracted: DataFrame): DataFrame =
+    extracted
+      .select(col("url"), explode(col("links")).as("l"))
+      .select(col("url"), col("l.page").as("page"),
+        col("l.anchor").as("anchor"), col("l.target").as("target"))
+
+  // ---- skew handling -------------------------------------------------------
+
+  val defaultHotThresholdShare: Double = 0.02
+
+  def domainOf = regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1)
+
+  /** Hot domains: a cheap groupBy(domain).count() pre-pass; any domain
+    * holding more than `share` of rows is salted across the full bucket
+    * space (SURVEY.md §4 partitioning row). Returns domain -> rowCount. */
+  def hotDomains(pages: DataFrame, share: Double = defaultHotThresholdShare): Map[String, Long] = {
+    val total = pages.count()
+    val cut = math.max(1L, (total * share).toLong)
+    pages.select(domainOf.as("domain"))
+      .groupBy("domain").count()
+      .filter(col("count") > cut)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Bucket expression: cold domains co-locate by domain hash (politeness /
+    * locality); hot domains spread by url hash so no bucket exceeds ~1/P of
+    * a hot domain. Pure Column expression — stays in codegen. */
+  def saltedBucket(hot: Set[String], nBuckets: Int) = {
+    val domain = domainOf
+    val isHot = if (hot.isEmpty) lit(false) else domain.isin(hot.toSeq: _*)
+    pmod(when(isHot, xxhash64(col("url"))).otherwise(xxhash64(domain)), lit(nBuckets))
+  }
+
+  /** Repartition pages into `nBuckets` salted buckets. */
+  def repartitionSalted(pages: DataFrame, nBuckets: Int,
+      share: Double = defaultHotThresholdShare): DataFrame = {
+    val hot = hotDomains(pages, share).keySet
+    pages.withColumn("bucket", saltedBucket(hot, nBuckets))
+      .repartition(nBuckets, col("bucket"))
+  }
+
+  // ---- metrics sidecar (A9-A11 analog + BASELINE.json lineage) -------------
+
+  final case class PartitionMetrics(partition_id: Int, docs: Long, errors: Long,
+      bytes: Long, elapsed_ms: Long, docs_per_sec: Double)
+
+  /** Per-partition lineage/metrics rows (R1/A11: success+error counters;
+    * BASELINE.json: "writes per-partition lineage and doc/sec metrics to a
+    * sidecar table"). Runs the kernel; timing fields are wall-clock and not
+    * golden-checked (FIXTURES.md §2). */
+  def metrics(spark: SparkSession, pages: DataFrame): Dataset[PartitionMetrics] = {
+    import spark.implicits._
+    pages.select(col("url"), col("html"), col("text"))
+      .as[(String, Array[Byte], String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val t0 = System.nanoTime()
+        var docs = 0L; var errors = 0L; var bytes = 0L
+        it.foreach { case (_, html, text) =>
+          val r = graft.extract.Extractor.extract(html, text)
+          docs += 1
+          bytes += (if (html == null) 0 else html.length)
+          if (r.error != null) errors += 1
+        }
+        val ms = (System.nanoTime() - t0) / 1000000L
+        Iterator.single(PartitionMetrics(pid, docs, errors, bytes, ms,
+          if (ms > 0) docs * 1000.0 / ms else docs.toDouble))
+      }
+  }
+}

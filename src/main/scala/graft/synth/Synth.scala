@@ -1,0 +1,188 @@
+package graft.synth
+
+import graft.model.PageRow
+
+/** Deterministic synthetic web-page corpus (FIXTURES.md §1/§3) — builds the
+  * `pages(url, warc_ts, html, text, lang)` table of BASELINE.json
+  * `input_hint` from seed text bodies (the driver's `documents` table), with
+  * zero wall-clock or RNG state: every byte is a pure function of
+  * (doc_id, words). Feature coverage follows FIXTURES.md §3: headings,
+  * nested lists, bullet-char prefixes, formatted runs, scheme-less urls,
+  * duplicate anchors, pipe-bearing tables, generic-vs-meaningful alts,
+  * nav/footer boilerplate, multi-page sections, malformed HTML, metadata,
+  * hot-domain skew.
+  */
+object Synth {
+
+  /** xorshift64* — deterministic per-doc stream; no java.util.Random. */
+  final class Rng(seed0: Long) {
+    private var s: Long = if (seed0 == 0L) 0x9e3779b97f4a7c15L else seed0
+    def nextLong(): Long = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      s * 0x2545f4914f6cdd1dL
+    }
+    def nextInt(bound: Int): Int = {
+      val r = (nextLong() >>> 1) % bound
+      r.toInt
+    }
+  }
+
+  private val hotDomains = Array("big.example.com", "hub.example.org")
+  private val coldDomainCount = 1000
+
+  def domainFor(docId: Long, rng: Rng): String = {
+    // ~10% of docs land on 2 hot domains -> the skew the salting must defuse
+    if (rng.nextInt(10) == 0) hotDomains(rng.nextInt(hotDomains.length))
+    else s"site-${rng.nextInt(coldDomainCount)}.example.net"
+  }
+
+  def urlFor(docId: Long): String = {
+    val rng = new Rng(docId * 0x9e3779b97f4a7c15L + 1)
+    s"https://${domainFor(docId, rng)}/docs/doc-$docId"
+  }
+
+  /** warc_ts: fixed base instant + docId seconds (UTC, no wall clock). */
+  def tsFor(docId: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + docId * 1000L)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Build one deterministic page. `words` seeds the text content. */
+  def pageFor(docId: Long, text: String, lang: String): PageRow = {
+    val words: Array[String] = {
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      if (w.isEmpty) Array("empty") else w
+    }
+    val rng = new Rng(docId * 0x9e3779b97f4a7c15L + 1)
+    val domain = domainFor(docId, rng)
+    val url = s"https://$domain/docs/doc-$docId"
+
+    def take(n: Int, off: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) { if (i > 0) sb.append(' '); sb.append(words((off + i) % words.length)); i += 1 }
+      sb.toString
+    }
+    def cap(s: String): String =
+      if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1)
+
+    val variant = (docId % 10).toInt
+    val nPages = if (variant == 7) 3 else 1
+    val html = new StringBuilder
+    val plain = new StringBuilder
+
+    html.append("<!DOCTYPE html>\n")
+    html.append(s"""<html lang="${esc(lang)}"><head>""")
+    html.append(s"<title>${esc(cap(take(3, 0)))} — doc $docId</title>")
+    html.append(s"""<meta name="author" content="Synth Author ${docId % 97}">""")
+    html.append(s"""<meta name="keywords" content="${esc(take(4, 5).replace(' ', ','))}">""")
+    html.append(s"""<meta name="description" content="${esc(take(8, 2))}">""")
+    html.append("</head><body>\n")
+    // boilerplate: nav + cookie banner (must be stripped)
+    html.append("""<nav class="topnav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>""")
+    html.append("""<div class="cookie-banner">We use cookies. <a href="/privacy">Privacy</a></div>""")
+    html.append("<main>\n")
+
+    var page = 1
+    while (page <= nPages) {
+      if (nPages > 1) html.append(s"""<section class="page">""")
+      val off = (page - 1) * 13
+
+      val title = cap(take(3, off))
+      html.append(s"<h1>${esc(title)}</h1>\n")
+      plain.append(title).append('\n')
+
+      if (variant != 3) {
+        val sub = cap(take(4, off + 3))
+        html.append(s"<h2>${esc(sub)}</h2>\n")
+        plain.append(sub).append('\n')
+      }
+
+      // paragraph with mixed runs + links (scheme-less to exercise fix_url)
+      val p1a = cap(take(6, off + 1))
+      val p1b = take(2, off + 8)
+      val p1c = take(5, off + 4)
+      val linkTarget = variant match {
+        case 1 => s"www.ref-$docId.com/page"
+        case 2 => s"contact-${docId % 50}@example.com"
+        case _ => s"https://ref-${docId % 500}.example.org/t/${docId % 30}"
+      }
+      html.append(s"<p>${esc(p1a)} <b>${esc(p1b)}</b> and <a href=\"${esc(linkTarget)}\">${esc(p1c)}</a>.</p>\n")
+      plain.append(s"$p1a $p1b and $p1c.").append('\n')
+
+      // long paragraph (negative indicator / content-density signal)
+      val p2 = cap(take(30, off + 6))
+      html.append(s"<p>${esc(p2)}, <i>${esc(take(3, off + 11))}</i> ${esc(take(12, off + 2))}.</p>\n")
+      plain.append(p2).append('\n')
+
+      // duplicate anchor, longer text second (keep-longest dedup D2)
+      if (variant == 4) {
+        html.append(s"<p><a href=\"${esc(linkTarget)}\">${esc(take(1, off))}</a> then " +
+          s"<a href=\"${esc(linkTarget)}\">${esc(take(1, off))} ${esc(take(4, off + 1))}</a></p>\n")
+      }
+
+      // list: nested for some variants; literal bullet chars for others
+      if (variant % 3 == 0) {
+        html.append("<ul>")
+        var i = 0
+        while (i < 4) {
+          val item = take(3, off + i * 2)
+          if (i == 2) {
+            html.append(s"<li>${esc(item)}<ul><li>${esc(take(2, off + 9))}</li><li>${esc(take(2, off + 10))}</li></ul></li>")
+          } else html.append(s"<li>${esc(item)}</li>")
+          plain.append("- ").append(item).append('\n')
+          i += 1
+        }
+        html.append("</ul>\n")
+      } else if (variant == 5) {
+        html.append("<ol><li>first " + esc(take(2, off)) + "</li><li>second " + esc(take(2, off + 2)) + "</li></ol>\n")
+        html.append(s"<p>• ${esc(take(4, off + 3))}</p>\n") // literal bullet char -> stripped
+      }
+
+      // table with a pipe char in a cell
+      if (variant % 4 == 1) {
+        html.append("<table><tr><th>Key</th><th>Value</th></tr>")
+        html.append(s"<tr><td>${esc(take(1, off))}</td><td>${esc(take(2, off + 1))}|x</td></tr>")
+        html.append(s"<tr><td>${esc(take(1, off + 2))}</td><td>${esc(take(2, off + 3))}</td></tr></table>\n")
+      }
+
+      // images: meaningful vs generic alt
+      if (variant % 5 == 2) {
+        html.append(s"""<img src="a.png" alt="${esc(cap(take(5, off + 7)))} overview chart">""")
+        html.append("""<img src="b.png" alt="image1.png">""") // filtered (P4)
+      }
+
+      // entities + all-caps short heading for some docs
+      if (variant == 6) {
+        html.append(s"<h3>${esc(take(2, off).toUpperCase)}</h3>\n")
+        html.append(s"<p>${esc(take(3, off + 5))} &amp; ${esc(take(2, off + 6))} &mdash; ${esc(take(2, off + 7))}</p>\n")
+      }
+
+      // malformed fragment (unclosed tags, stray close) — must not throw
+      if (variant == 8) {
+        html.append(s"<p>${esc(take(4, off))} <b>unclosed bold</div>\n")
+      }
+
+      // diagram-like page: short flow labels + arrows (scores >= 40 path,
+      // exercising A5 text-density + A6 flow vocabulary + A4 variety)
+      if (variant == 9) {
+        html.append("<ul><li>Start</li><li>Process input</li><li>Decision point</li>" +
+          "<li>Create record</li><li>Update index</li><li>Check result</li><li>End</li></ul>\n")
+        html.append("<table><tr><th>Step</th><th>Next</th></tr>" +
+          "<tr><td>begin</td><td>verify</td></tr></table>\n")
+        plain.append("Start Process input Decision point End\n")
+      }
+
+      if (nPages > 1) html.append("</section>")
+      page += 1
+    }
+
+    html.append("</main>\n")
+    html.append("""<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a> © synth</footer>""")
+    html.append("</body></html>\n")
+
+    PageRow(url, tsFor(docId), html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      plain.toString, lang)
+  }
+}

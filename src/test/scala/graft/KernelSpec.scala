@@ -1,0 +1,283 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract._
+import graft.html.HtmlParser
+import graft.model._
+
+/** Ports of the reference's own unit tests (tests/test_hyperlink_extractor.py)
+  * plus kernel unit coverage for the from-scratch parser and converters. */
+class KernelSpec extends AnyFunSuite {
+
+  // ---- fix_url: exact vectors from tests/test_hyperlink_extractor.py:13-44
+  test("fix_url email") {
+    assert(UrlFix.fixUrl("test@example.com") == "mailto:test@example.com")
+  }
+  test("fix_url web") {
+    assert(UrlFix.fixUrl("www.example.com") == "https://www.example.com")
+    assert(UrlFix.fixUrl("example.com") == "https://example.com")
+    assert(UrlFix.fixUrl("https://example.com") == "https://example.com")
+  }
+  test("fix_url empty/null") {
+    assert(UrlFix.fixUrl("") == "")
+    assert(UrlFix.fixUrl(null) == null)
+  }
+  test("fix_url anchors, tel, unknown tld pass through") {
+    assert(UrlFix.fixUrl("#section") == "#section")
+    assert(UrlFix.fixUrl("tel:+4412345") == "tel:+4412345")
+    assert(UrlFix.fixUrl("localhost/page") == "localhost/page")
+    assert(UrlFix.fixUrl("example.io/x") == "https://example.io/x")
+  }
+
+  // ---- format_hyperlinks_section: tests/test_hyperlink_extractor.py:48-129
+  test("hyperlinks section empty") {
+    assert(Links.formatHyperlinksSection(Nil) == "")
+  }
+  test("hyperlinks section basic") {
+    val links = Seq(
+      LinkRow("", 1, "Example Link", "https://example.com"),
+      LinkRow("", 1, "Another Link", "https://example.org"),
+      LinkRow("", 2, "Page 2 Link", "https://test.com"))
+    val r = Links.formatHyperlinksSection(links, "Document")
+    assert(r.contains("## Hyperlinks in Document"))
+    assert(r.contains("### Page 1"))
+    assert(r.contains("### Page 2"))
+    assert(r.contains("* [Example Link](https://example.com)"))
+    assert(r.contains("* [Another Link](https://example.org)"))
+    assert(r.contains("* [Page 2 Link](https://test.com)"))
+    assert(r.startsWith("\n\n## Hyperlinks in Document\n"))
+  }
+  test("hyperlinks section presentation naming") {
+    val links = Seq(
+      LinkRow("", 1, "Slide 1 Link", "https://example.com"),
+      LinkRow("", 2, "Slide 2 Link", "https://test.com"))
+    val r = Links.formatHyperlinksSection(links, "Presentation")
+    assert(r.contains("## Hyperlinks in Presentation"))
+    assert(r.contains("### Slide 1") && r.contains("### Slide 2"))
+  }
+  test("hyperlinks section duplicate keeps longer-and-contains text") {
+    val links = Seq(
+      LinkRow("", 1, "Short Text", "https://example.com"),
+      LinkRow("", 1, "Longer and better description", "https://example.com"),
+      LinkRow("", 2, "Page 2 Link", "https://example.com"))
+    val r = Links.formatHyperlinksSection(links)
+    // replacement needs longer AND contains — these differ, so first text wins
+    assert(r.contains("* [Short Text](https://example.com)"))
+    assert(r.contains("### Page 2"))
+    assert(r.contains("* [Page 2 Link](https://example.com)"))
+  }
+  test("hyperlinks section replacement when longer text contains old") {
+    val links = Seq(
+      LinkRow("", 1, "Docs", "https://example.com"),
+      LinkRow("", 1, "Docs and tutorials", "https://example.com"),
+      LinkRow("", 1, "Link on page 1", "https://old.com"),
+      LinkRow("", 1, "Real anchor", "https://old.com"))
+    val r = Links.formatHyperlinksSection(links)
+    assert(r.contains("* [Docs and tutorials](https://example.com)"))
+    assert(!r.contains("* [Docs](https://example.com)"))
+    assert(r.contains("* [Real anchor](https://old.com)")) // placeholder replaced
+  }
+  test("hyperlinks section missing fields") {
+    val links = Seq(
+      LinkRow("", 1, "Valid Link", "https://example.com"),
+      LinkRow("", 1, "", "https://empty-text.com"),
+      LinkRow("", 1, "No URL", ""),
+      LinkRow("", 0, "No Page", "https://no-page.com"))
+    val r = Links.formatHyperlinksSection(links)
+    assert(r.contains("* [Valid Link](https://example.com)"))
+    assert(!r.contains("empty-text.com"))
+    assert(!r.contains("No URL"))
+    assert(!r.contains("no-page.com"))
+  }
+
+  // ---- keep-longest dedup (hyperlink_extractor.py:172-195)
+  test("dedup keeps longest anchor per (target,page)") {
+    val d = Links.dedupKeepLongest(Seq(
+      LinkRow("u", 1, "a", "https://x.com"),
+      LinkRow("u", 1, "much longer anchor", "https://x.com"),
+      LinkRow("u", 2, "other page", "https://x.com"),
+      LinkRow("u", 1, "   ", "https://y.com")))
+    assert(d == Vector(
+      LinkRow("u", 1, "much longer anchor", "https://x.com"),
+      LinkRow("u", 2, "other page", "https://x.com")))
+  }
+
+  // ---- bullet char strip (text_processor.py:423-441)
+  test("bullet char strip") {
+    assert(Runs.removeBulletChar("• item") == "item")
+    assert(Runs.removeBulletChar("- dash item") == "dash item")
+    assert(Runs.removeBulletChar("→   arrow") == "arrow")
+    assert(Runs.removeBulletChar("no bullet") == "no bullet")
+    assert(Runs.removeBulletChar("") == "")
+  }
+
+  // ---- emphasis assembly (markdown_converter.py:206-270)
+  private def r(t: String, b: Boolean = false, i: Boolean = false, h: String = "") =
+    Run(t, b, i, h)
+  test("uniform bold wraps whole text") {
+    assert(Markdown.buildFormattedText(Vector(r("all", b = true), r(" bold", b = true)),
+      "all bold") == "**all bold**")
+  }
+  test("uniform bold+italic") {
+    assert(Markdown.buildFormattedText(Vector(r("x", b = true, i = true)), "x") == "***x***")
+  }
+  test("same hyperlink across runs wraps whole text") {
+    assert(Markdown.buildFormattedText(
+      Vector(r("click ", h = "https://a.com"), r("here", h = "https://a.com")),
+      "click here") == "[click here](https://a.com)")
+  }
+  test("bold + same hyperlink") {
+    assert(Markdown.buildFormattedText(
+      Vector(r("go", b = true, h = "https://a.com")), "go") == "[**go**](https://a.com)")
+  }
+  test("all bold with DIFFERENT hyperlinks loses links (reference quirk)") {
+    assert(Markdown.buildFormattedText(
+      Vector(r("a", b = true, h = "https://a.com"), r("b", b = true, h = "https://b.com")),
+      "ab") == "**ab**")
+  }
+  test("mixed formatting goes per-run") {
+    assert(Markdown.buildFormattedText(
+      Vector(r("plain "), r("bold", b = true), r(" and "), r("link", h = "https://l.io")),
+      "plain bold and link") == "plain **bold** and [link](https://l.io)")
+  }
+
+  // ---- paragraph structure (markdown_converter.py:121-155)
+  test("bullet indentation 2 spaces per level") {
+    val p = Paragraph("item", Vector(r("item")),
+      Hints(2, isBullet = true, isNumbered = false, shortText = true,
+        allCaps = false, likelyHeading = false))
+    assert(Markdown.paragraphToMarkdown(p) == "    - item")
+  }
+  test("negative bullet level clamps to 0") {
+    val p = Paragraph("item", Vector(r("item")),
+      Hints(-1, isBullet = true, isNumbered = false, shortText = true,
+        allCaps = false, likelyHeading = false))
+    assert(Markdown.paragraphToMarkdown(p) == "- item")
+  }
+  test("numbered list") {
+    val p = Paragraph("first", Vector(r("first")),
+      Hints(-1, isBullet = false, isNumbered = true, shortText = true,
+        allCaps = false, likelyHeading = false))
+    assert(Markdown.paragraphToMarkdown(p) == "1. first")
+  }
+  test("likely heading short -> ##, long -> ###") {
+    val short = Paragraph("Heading", Vector(r("Heading")),
+      Hints(-1, false, false, shortText = true, allCaps = false, likelyHeading = true))
+    assert(Markdown.paragraphToMarkdown(short) == "## Heading")
+    val long = Paragraph("A much longer heading that exceeds thirty chars",
+      Vector(r("A much longer heading that exceeds thirty chars")),
+      Hints(-1, false, false, shortText = true, allCaps = false, likelyHeading = true))
+    assert(Markdown.paragraphToMarkdown(long) == "### A much longer heading that exceeds thirty chars")
+  }
+
+  // ---- table markdown (markdown_converter.py:272-287)
+  test("table with pipe escaping and separator") {
+    val t = TableBlock("other", Vector(Vector("Name", "A|B"), Vector("x", "y")))
+    assert(Markdown.tableToMarkdown(t) ==
+      "| Name | A\\|B |\n| --- | --- |\n| x | y |\n")
+  }
+
+  // ---- alt text filter (content_extractor.py:158-213)
+  test("meaningless alt text filtered") {
+    assert(!Markdown.hasMeaningfulAltText("image1.png"))
+    assert(!Markdown.hasMeaningfulAltText("picture2"))
+    assert(!Markdown.hasMeaningfulAltText("42"))
+    assert(!Markdown.hasMeaningfulAltText("img"))
+    assert(!Markdown.hasMeaningfulAltText("Diagram"))
+    assert(!Markdown.hasMeaningfulAltText("ab"))
+    assert(Markdown.hasMeaningfulAltText("Sales growth chart for 2024"))
+  }
+
+  // ---- HTML parser basics
+  test("parser handles nesting, entities, comments, implied closes") {
+    val dom = HtmlParser.parse(
+      "<html><body><p>a &amp; b<p>second<ul><li>one<li>two</ul>" +
+        "<!-- hidden --><script>var x = '<p>not content</p>';</script></body></html>")
+    val body = dom.find("body").get
+    val ps = body.descendants.filter(_.tag == "p").toVector
+    assert(ps.map(_.rawText) == Vector("a & b", "second"))
+    val lis = body.descendants.filter(_.tag == "li").toVector
+    assert(lis.map(_.rawText) == Vector("one", "two"))
+    assert(!body.rawText.contains("not content"))
+  }
+  test("parser never throws on malformed input") {
+    val nasty = Seq("", "<", "<<>>", "</nope>", "<a href=", "<p <p>", "<b>x",
+      "<table><td>frag", "&#xZZ; &unknown; &#40;", "<div class=>y</div>",
+      " <p></p>", "<p>unclosed <b>bold")
+    nasty.foreach { s => HtmlParser.parse(s) } // must not throw
+    assert(HtmlParser.parse("&#40;x&#41;").rawText == "(x)")
+  }
+
+  // ---- end-to-end extraction
+  test("extract end-to-end: headings, lists, links, boilerplate stripped") {
+    val html =
+      """<html lang="en"><head><title>Doc Title</title>
+        |<meta name="author" content="Jane Doe"><meta name="keywords" content="a,b">
+        |</head><body>
+        |<nav><a href="/">Home</a> <a href="/about">About</a></nav>
+        |<main>
+        |<h1>Main Heading</h1>
+        |<h2>Sub heading</h2>
+        |<p>First paragraph with <b>bold</b> and <a href="www.example.com">a link</a>.</p>
+        |<ul><li>one</li><li>two<ul><li>nested</li></ul></li></ul>
+        |<table><tr><th>K</th><th>V</th></tr><tr><td>a</td><td>b|c</td></tr></table>
+        |<img alt="Architecture diagram of the system" src="x.png">
+        |</main>
+        |<footer><a href="/tos">Terms</a></footer>
+        |</body></html>""".stripMargin
+    val res = Extractor.extract(html.getBytes("UTF-8"), "fallback text")
+    assert(res.error == null)
+    val t = res.extractedText
+    assert(t.contains("# Main Heading"))
+    assert(t.contains("## Sub heading"))
+    assert(t.contains("First paragraph with **bold** and [a link](https://www.example.com)."))
+    assert(t.contains("- one"))
+    assert(t.contains("  - nested"))
+    assert(t.contains("| K | V |"))
+    assert(t.contains("| a | b\\|c |"))
+    assert(t.contains("![Architecture diagram of the system](image)"))
+    assert(!t.contains("Home"))   // nav stripped
+    assert(!t.contains("Terms"))  // footer stripped
+    assert(res.meta.title == "Doc Title")
+    assert(res.meta.author == "Jane Doe")
+    assert(res.meta.htmlLang == "en")
+    assert(res.links == Vector(LinkRow("", 1, "a link", "https://www.example.com")))
+    // spans: sorted, non-overlapping, indexing into extracted_text
+    val spans = res.spans
+    assert(spans.nonEmpty)
+    spans.sliding(2).foreach {
+      case Vector(a, b) => assert(a.end <= b.start)
+      case _            => ()
+    }
+    spans.foreach(s => assert(s.start >= 0 && s.end <= t.length && s.start < s.end))
+  }
+
+  test("extract multi-page doc emits page markers and per-page links") {
+    val html =
+      """<body>
+        |<section class="page"><h1>Page One</h1><p><a href="https://x.com">X short</a></p></section>
+        |<section class="page"><p>Second page text here with enough words to not be boilerplate.</p>
+        |<p><a href="https://x.com">X anchor much longer</a></p></section>
+        |</body>""".stripMargin
+    val res = Extractor.extract(html.getBytes("UTF-8"), "")
+    assert(res.extractedText.contains("<!-- Page 1 -->"))
+    assert(res.extractedText.contains("<!-- Page 2 -->"))
+    assert(res.links.toSet == Set(
+      LinkRow("", 1, "X short", "https://x.com"),
+      LinkRow("", 2, "X anchor much longer", "https://x.com")))
+    assert(res.meta.pageCount == 2)
+  }
+
+  test("extract falls back to text column on empty html") {
+    val res = Extractor.extract(Array.emptyByteArray, "plain text body")
+    assert(res.extractedText == "plain text body")
+    assert(res.spans == Vector(Span(0, 15, "fallback")))
+  }
+
+  test("extract is deterministic") {
+    val html = "<body><h1>T</h1><p>para</p></body>".getBytes("UTF-8")
+    val a = Extractor.extract(html, "")
+    val b = Extractor.extract(html, "")
+    assert(a == b)
+  }
+}
