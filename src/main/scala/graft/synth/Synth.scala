@@ -58,6 +58,13 @@ object Synth {
     val domain = domainFor(docId, rng)
     val url = s"https://$domain/docs/doc-$docId"
 
+    // ~6% of the corpus is PDF payloads (FIXTURES.md §1: "%PDF- payload for
+    // the PDF branch"); chosen off the golden id range 0-9
+    if (docId % 17 == 13) {
+      val (pdf, plain) = graft.pdf.PdfGen.synthPdf(docId, words)
+      return PageRow(url, tsFor(docId), pdf, plain, lang)
+    }
+
     def take(n: Int, off: Int): String = {
       val sb = new StringBuilder
       var i = 0

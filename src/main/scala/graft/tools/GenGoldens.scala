@@ -22,7 +22,8 @@ object GenGoldens {
       "agg part merge column filter key data a part batch merge data row column " +
       "column big merge slow part slow spark table small part fast value merge"
     (0L until 10L).map(i => (i, if (i % 2 == 0) textA else textB,
-      Seq("en", "de", "fr", "es", "zz")((i % 5).toInt)))
+      Seq("en", "de", "fr", "es", "zz")((i % 5).toInt))) :+
+      (13L, textA, "en") // PDF payload route (docId % 17 == 13)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pdf.{ContentText, PdfExtract, PdfGen, PdfParser}
+import graft.extract.Extractor
+
+class PdfSpec extends AnyFunSuite {
+
+  private val words = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").split(" ")
+
+  test("generator output is sniffed as PDF and parses to pages") {
+    val (pdf, _) = PdfGen.synthPdf(13L, words)
+    assert(Extractor.isPdf(pdf))
+    val pages = PdfParser.parse(pdf)
+    assert(pages.size == 2)
+    assert(pages.head.words.nonEmpty)
+    assert(pages.head.annots.size == 1)
+  }
+
+  test("reading order: lines top-to-bottom, columns left then right") {
+    val pdf = PdfGen.build(Seq(PdfGen.PdfPage(Seq(
+      (72.0, 700.0, "L1a"), (72.0, 686.0, "L2a"),
+      (340.0, 700.0, "R1a"), (340.0, 686.0, "R2a")), Nil)))
+    val page = PdfParser.parse(pdf).head
+    assert(ContentText.pageText(page) == "L1a\nL2a\nR1a\nR2a")
+  }
+
+  test("single-column text stays interleaved by line") {
+    val pdf = PdfGen.build(Seq(PdfGen.PdfPage(Seq(
+      (72.0, 700.0, "one two"), (72.0, 686.0, "three four")), Nil)))
+    val page = PdfParser.parse(pdf).head
+    assert(ContentText.pageText(page) == "one two\nthree four")
+  }
+
+  test("annotation anchor text from rect word lookup (X18)") {
+    val (pdf, _) = PdfGen.synthPdf(13L, words)
+    val r = PdfExtract.extract(pdf, "fb")
+    assert(r.error == null)
+    val annotLinks = r.links.filter(_.target.startsWith("https://annot-"))
+    assert(annotLinks.nonEmpty)
+    // the rect sits over page-1 line 3; anchor should be real words, not the fallback
+    assert(!annotLinks.head.anchor.startsWith("Link on page"))
+    assert(annotLinks.head.page == 1)
+  }
+
+  test("regex URL pass finds inline URLs with context (X17) and dedups vs annots (D4)") {
+    val (pdf, _) = PdfGen.synthPdf(13L, words)
+    val r = PdfExtract.extract(pdf, "fb")
+    val inline = r.links.filter(_.target.startsWith("https://inline-"))
+    assert(inline.size == 1)
+    assert(inline.head.page == 1)
+    assert(inline.head.anchor.nonEmpty)
+  }
+
+  test("hyperlink section is appended with reference formatting (W2)") {
+    val (pdf, _) = PdfGen.synthPdf(13L, words)
+    val r = PdfExtract.extract(pdf, "fb")
+    assert(r.extractedText.contains("\n\n## Hyperlinks in Document\n"))
+    assert(r.extractedText.contains("### Page 1"))
+    assert(r.spans.last.kind == "links_section")
+  }
+
+  test("empty-rect annotation falls back to 'Link on page N'") {
+    val pdf = PdfGen.build(Seq(PdfGen.PdfPage(
+      Seq((72.0, 700.0, "text far away")),
+      Seq(PdfGen.PdfLink((400, 100, 450, 110), "https://nowhere.example.com")))))
+    val r = PdfExtract.extract(pdf, "fb")
+    assert(r.links.exists(l => l.anchor == "Link on page 1" &&
+      l.target == "https://nowhere.example.com"))
+  }
+
+  test("garbage after %PDF- falls back to text column with error") {
+    val junk = "%PDF-1.4 this is not a real pdf".getBytes("UTF-8")
+    val r = Extractor.extract(junk, "fallback body")
+    assert(r.extractedText == "fallback body")
+  }
+
+  test("FlateDecode streams decode") {
+    // hand-build a tiny pdf with a deflated content stream
+    val content = "BT /F1 11 Tf 1 0 0 1 72 700 Tm (deflated text) Tj ET"
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf)
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val head = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n".getBytes("ISO-8859-1")
+    val pdf = head ++ deflated ++ tail
+    val pages = PdfParser.parse(pdf)
+    assert(pages.size == 1)
+    assert(ContentText.pageText(pages.head) == "deflated text")
+  }
+
+  test("synth routes docId % 17 == 13 to PDF payloads") {
+    val page = graft.synth.Synth.pageFor(13L, words.mkString(" "), "en")
+    assert(Extractor.isPdf(page.html))
+    val r = Extractor.extract(page.html, page.text)
+    assert(r.error == null)
+    assert(r.extractedText.nonEmpty)
+    assert(r.links.nonEmpty)
+  }
+}
