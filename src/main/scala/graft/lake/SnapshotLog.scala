@@ -1,0 +1,90 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot commit log over plain parquet (SURVEY.md §7:
+  * "parquet + a tiny self-written snapshot/manifest commit log giving atomic
+  * commits + resume at partition granularity; swap-in of real Iceberg is a
+  * config change if a runtime jar ever appears" — no Iceberg runtime exists
+  * in this sandbox).
+  *
+  * Layout:
+  *   <table>/data/bucket=<N>/          committed parquet for bucket N
+  *   <table>/_snapshots/v<K>.json      manifest: all committed buckets at K
+  *   <table>/_snapshots/LATEST         current manifest version (atomic swap)
+  *
+  * Commit protocol (crash-safe on POSIX rename semantics):
+  *   1. job writes bucket data to <table>/_tmp/<bucket>-<nonce>/
+  *   2. tmp dir atomically renamed to data/bucket=<N>/
+  *   3. new manifest v<K+1>.json written, then LATEST swapped via
+  *      temp-file + ATOMIC_MOVE
+  * A killed run leaves only _tmp garbage and an un-referenced data dir at
+  * worst; resume re-reads LATEST and skips committed buckets.
+  */
+final class SnapshotLog(tableDir: String) {
+  private val root: Path = Paths.get(tableDir)
+  private val snapsDir = root.resolve("_snapshots")
+  private val dataDir = root.resolve("data")
+  private val tmpDir = root.resolve("_tmp")
+
+  def init(): Unit = {
+    Files.createDirectories(snapsDir)
+    Files.createDirectories(dataDir)
+    Files.createDirectories(tmpDir)
+  }
+
+  def latestVersion(): Int = {
+    val latest = snapsDir.resolve("LATEST")
+    if (Files.exists(latest)) new String(Files.readAllBytes(latest)).trim.toInt
+    else 0
+  }
+
+  /** Buckets committed as of the latest snapshot. */
+  def committedBuckets(): Set[Int] = {
+    val v = latestVersion()
+    if (v == 0) Set.empty
+    else {
+      val json = new String(Files.readAllBytes(snapsDir.resolve(s"v$v.json")))
+      // manifest format: {"version":K,"buckets":[1,2,3]}
+      val m = """"buckets"\s*:\s*\[([0-9,\s]*)\]""".r
+      m.findFirstMatchIn(json) match {
+        case Some(g) =>
+          g.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+        case None => Set.empty
+      }
+    }
+  }
+
+  def bucketDataDir(bucket: Int): Path = dataDir.resolve(s"bucket=$bucket")
+
+  /** A scratch dir for the job to write bucket output into. */
+  def stagingDir(bucket: Int): Path =
+    tmpDir.resolve(s"$bucket-${latestVersion()}-stage")
+
+  /** Atomically publish a staged bucket dir and record it in a new snapshot. */
+  def commitBucket(bucket: Int, staged: Path): Unit = {
+    val dest = bucketDataDir(bucket)
+    if (Files.exists(dest)) deleteRecursively(dest) // idempotent re-commit
+    Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
+    val newBuckets = committedBuckets() + bucket
+    val v = latestVersion() + 1
+    val json =
+      s"""{"version":$v,"buckets":[${newBuckets.toVector.sorted.mkString(",")}]}"""
+    Files.write(snapsDir.resolve(s"v$v.json"), json.getBytes("UTF-8"))
+    val tmpLatest = snapsDir.resolve(s"LATEST.tmp")
+    Files.write(tmpLatest, v.toString.getBytes("UTF-8"))
+    Files.move(tmpLatest, snapsDir.resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Paths of all committed bucket dirs (for reading the table back). */
+  def committedPaths(): Vector[String] =
+    committedBuckets().toVector.sorted.map(b => bucketDataDir(b).toString)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.delete)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming face of the engine (SURVEY.md §2.2 streaming row):
+  * the reference is strictly batch-per-folder, and its resumability maps to
+  * incremental processing — here `readStream` over the pages table with
+  * `Trigger.AvailableNow` + a checkpoint dir: each invocation processes only
+  * files not yet seen by the checkpoint, then stops. This is the streaming
+  * twin of lake.ResumableRun (file granularity instead of bucket
+  * granularity); both exist because the north star names snapshot-checkpoint
+  * resume while the builder mandate names Structured Streaming coverage.
+  */
+object StreamPipeline {
+
+  /** input_hint schema (BASELINE.json). */
+  val pagesSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Incrementally extract new page files from `inDir` into `outDir`;
+    * returns after all currently-available input is processed. */
+  def runExtractAvailableNow(spark: SparkSession, inDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val pages = spark.readStream.schema(pagesSchema).parquet(inDir)
+    val out = graft.pipeline.Pipeline.extracted(pages)
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation over the stream (1h windows on
+    * warc_ts, counts per lang) — the standard streaming-agg shape. */
+  def runWindowedCounts(spark: SparkSession, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    // append-mode emission needs the watermark to advance BETWEEN
+    // micro-batches; cap files/trigger so AvailableNow yields several.
+    // At cluster scale raise this to ~executor count x a few.
+    val pages = spark.readStream.schema(pagesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
+    val agg = pages
+      .withWatermark("warc_ts", "1 hour")
+      .groupBy(window(col("warc_ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("lang"), col("n"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch view of what the windowed stream computes (for test oracles). */
+  def windowedCountsBatch(pages: DataFrame): DataFrame =
+    pages.groupBy(window(col("warc_ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("lang"), col("n"))
+}

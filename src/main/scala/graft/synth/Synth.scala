@@ -41,9 +41,10 @@ object Synth {
     s"https://${domainFor(docId, rng)}/docs/doc-$docId"
   }
 
-  /** warc_ts: fixed base instant + docId seconds (UTC, no wall clock). */
+  /** warc_ts: fixed base instant + 10 minutes per doc (UTC, no wall clock;
+    * spread so hourly-window streaming aggregations see many windows). */
   def tsFor(docId: Long): java.sql.Timestamp =
-    new java.sql.Timestamp(1700000000000L + docId * 1000L)
+    new java.sql.Timestamp(1700000000000L + docId * 600000L)
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

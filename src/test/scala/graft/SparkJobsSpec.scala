@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.lake.{ResumableRun, SnapshotLog}
+import graft.pipeline.Pipeline
+import graft.streaming.StreamPipeline
+
+/** End-to-end Spark job tests: resumable lake runs, streaming, salting,
+  * metrics. One shared local session (startup is the expensive part). */
+class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  private def pages = Pipeline.pages(spark, "/root/testdata/sf0.001").cache()
+
+  test("resumable run: killed run resumes at bucket granularity, result equals full run") {
+    val p = pages
+    val nBuckets = 8
+
+    // reference: one uninterrupted run
+    val fullDir = tmp()
+    val full = ResumableRun.run(spark, p, fullDir, nBuckets)
+    assert(full == (0 until nBuckets).toVector)
+    val fullRows = ResumableRun.readTable(spark, fullDir)
+      .select("url", "extracted_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+
+    // "killed" run: only 3 buckets commit, then the process dies
+    val dir = tmp()
+    val first = ResumableRun.run(spark, p, dir, nBuckets, maxBuckets = 3)
+    assert(first.size == 3)
+    assert(new SnapshotLog(dir).committedBuckets() == first.toSet)
+
+    // resume: processes exactly the remaining buckets
+    val second = ResumableRun.run(spark, p, dir, nBuckets)
+    assert(second.size == nBuckets - 3)
+    assert((first ++ second).toSet == (0 until nBuckets).toSet)
+
+    // third run: nothing left to do
+    assert(ResumableRun.run(spark, p, dir, nBuckets).isEmpty)
+
+    // content identical to the uninterrupted run (byte-identical per url)
+    val resumedRows = ResumableRun.readTable(spark, dir)
+      .select("url", "extracted_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(resumedRows == fullRows)
+    assert(resumedRows.size == 500)
+  }
+
+  test("salted bucketing bounds hot-domain skew") {
+    val p = pages
+    val nBuckets = 16
+    val hot = Pipeline.hotDomains(p)
+    assert(hot.keySet == Set("big.example.com", "hub.example.org"),
+      s"expected the synth hot domains, got $hot")
+    // with salting: no bucket holds more than ~3x the mean
+    val withB = p.withColumn("b", Pipeline.saltedBucket(hot.keySet, nBuckets))
+    val sizes = withB.groupBy("b").count().collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / nBuckets
+    assert(sizes.max < mean * 3, s"salted max=${sizes.max} mean=$mean")
+    // without salting (domain hash only): the hot domains pile into 2 buckets
+    val noSalt = p.withColumn("b", Pipeline.saltedBucket(Set.empty, nBuckets))
+    val worst = noSalt.groupBy("b").count().collect().map(_.getLong(1)).max
+    assert(worst > sizes.max, "salting should strictly reduce the max bucket")
+  }
+
+  test("streaming extract with AvailableNow processes increments exactly once") {
+    val inDir = tmp(); val outDir = tmp() + "/out"; val ckpt = tmp() + "/ckpt"
+    val p = pages
+    p.filter(col("url").rlike("doc-[0-9]$")).write.mode("append").parquet(inDir)
+    StreamPipeline.runExtractAvailableNow(spark, inDir, outDir, ckpt)
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == 10)
+    // append a second batch; rerun with same checkpoint -> only new rows
+    p.filter(col("url").rlike("doc-1[0-9]$")).write.mode("append").parquet(inDir)
+    StreamPipeline.runExtractAvailableNow(spark, inDir, outDir, ckpt)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 20)
+    assert(out.select("url").distinct().count() == 20) // no reprocessing
+  }
+
+  test("streaming windowed counts match the batch computation") {
+    val inDir = tmp(); val outDir = tmp() + "/out"; val ckpt = tmp() + "/ckpt"
+    val p = pages
+    // feed time-ordered chunks (how a crawl table actually lands): each file
+    // is one micro-batch; the watermark advances between them and append
+    // mode emits every closed window with its complete count
+    (0 until 4).foreach { chunk =>
+      p.filter(col("warc_ts").cast("long").between(
+          1700000000L + chunk * 125 * 600, 1700000000L + (chunk + 1) * 125 * 600 - 1))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    StreamPipeline.runWindowedCounts(spark, inDir, outDir, ckpt)
+    // append-mode emits only watermark-closed windows; every emitted row
+    // must match the batch aggregation exactly
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamPipeline.windowedCountsBatch(p).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.subsetOf(batch))
+    assert(streamed.nonEmpty)
+  }
+
+  test("metrics sidecar counts docs and errors per partition") {
+    val p = pages.repartition(4)
+    val m = Pipeline.metrics(spark, p).collect()
+    assert(m.map(_.docs).sum == 500)
+    assert(m.map(_.errors).sum == 0)
+    assert(m.forall(_.docs_per_sec > 0))
+  }
+
+  test("extraction plan is a single narrow map stage (no shuffle)") {
+    val plan = Pipeline.extracted(pages)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction plan must not shuffle:\n$plan")
+  }
+}
