@@ -28,24 +28,36 @@ object Boilerplate {
     val marker = el.attr("class") + " " + el.attr("id")
     if (marker.trim.nonEmpty && furnitureToken.findFirstIn(marker).isDefined) return true
     if (containerTags.contains(el.tag)) {
-      val (total, inLink) = charCounts(el)
+      val (total, inLink, words) = charCounts(el)
       if (total > 0) {
-        val words = el.rawText.split("\\s+").count(_.nonEmpty)
         if (inLink.toDouble / total > 0.5 && words < 50) return true
       }
     }
     false
   }
 
-  /** (visible chars, visible chars under an <a>) for the subtree. */
-  private def charCounts(el: Elem): (Int, Int) = {
+  /** (visible chars, visible chars under an <a>, word count) in ONE subtree
+    * traversal — no intermediate string materialization (hot path: runs per
+    * container element). */
+  private def charCounts(el: Elem): (Int, Int, Int) = {
     var total = 0
     var linked = 0
+    var words = 0
     def go(n: Node, inA: Boolean): Unit = n match {
       case t: TextNode =>
-        val c = t.value.count(!_.isWhitespace)
-        total += c
-        if (inA) linked += c
+        val v = t.value
+        var i = 0
+        var inWord = false
+        while (i < v.length) {
+          val c = v.charAt(i)
+          if (!Character.isWhitespace(c)) {
+            total += 1
+            if (inA) linked += 1
+            if (!inWord) words += 1
+            inWord = true
+          } else inWord = false
+          i += 1
+        }
       case e: Elem =>
         e.tag match {
           case "script" | "style" | "template" | "noscript" => ()
@@ -55,6 +67,6 @@ object Boilerplate {
       case _ => ()
     }
     go(el, inA = false)
-    (total, linked)
+    (total, linked, words)
   }
 }

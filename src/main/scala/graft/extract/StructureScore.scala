@@ -39,7 +39,7 @@ object StructureScore {
       val shortCount = textBlocks.count { b =>
         val paras = b.paragraphs.filter(_.cleanText.nonEmpty)
         paras.nonEmpty && {
-          val totalWords = paras.map(p => p.cleanText.split("\\s+").count(_.nonEmpty)).sum
+          val totalWords = paras.map(p => TextStats.wordCount(p.cleanText)).sum
           totalWords.toDouble / paras.size <= 5
         }
       }
@@ -67,7 +67,7 @@ object StructureScore {
     textBlocks.foreach(_.paragraphs.foreach { p =>
       if (p.cleanText.nonEmpty) {
         totalParas += 1
-        if (p.cleanText.split("\\s+").count(_.nonEmpty) > 20) longTextCount += 1
+        if (TextStats.wordCount(p.cleanText) > 20) longTextCount += 1
         if (p.hints.isBullet) bulletCount += 1
       }
     })

@@ -53,8 +53,7 @@ object Hints {
     Hints(
       bulletLevel = -1, isBullet = false, isNumbered = false,
       shortText = stripped.length < 100,
-      allCaps = stripped.nonEmpty && stripped == stripped.toUpperCase &&
-        stripped.exists(_.isLetter),
+      allCaps = graft.extract.TextStats.isAllCaps(stripped),
       likelyHeading = stripped.nonEmpty && stripped.length < 80
     )
   }

@@ -58,6 +58,22 @@ object Pipeline {
       .toDF()
   }
 
+  /** Deterministically amplified pages table for benchmarking: each seed doc
+    * yields `factor` distinct pages (ids spread so synth variants and the
+    * PDF route are hit proportionally). The driver's documents table tops
+    * out at 5000 rows — real corpora don't — so the bench corpus is scaled
+    * here, still fully deterministic. */
+  def pagesReplicated(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .flatMap { case (id, text, lang) =>
+        (0 until factor).iterator.map(k => Synth.pageFor(id * factor + k, text, lang))
+      }
+      .toDF()
+  }
+
   /** The extraction map stage: one narrow Project over the scan. The kernel
     * is exposed as a deterministic, null-tolerant Scala UDF (SURVEY.md §2.2:
     * UDF for composability; Expression wrapper is optional polish). */
