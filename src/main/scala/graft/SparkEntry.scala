@@ -189,8 +189,20 @@ object SparkEntry {
         .select(unix_timestamp(col("hour_ts")).as("hour_epoch"), col("event_type"),
           col("n"), col("value_cents"))
         .orderBy("hour_epoch", "event_type")
+    }),
+
+    // ---- A9 folder statistics analog (counts + weighted time estimate) ----
+    "q_folder_stats" -> ((s: SparkSession, dir: String) => {
+      // reference estimator: 30s per pptx-like + 15s per other
+      // (folder_processor.py:199-204); `source` stands in for the format
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("source") === "src0", 30).otherwise(15))
+            .cast("bigint").as("est_seconds"))
+        .orderBy("source")
     })
-  ) ++ OpsQueries.queries
+  ) ++ OpsQueries.queries ++ graft.ops.Multimodal.queries
 
   def oracleSql: Map[String, String] = Map(
     "q_agg" ->
@@ -267,6 +279,10 @@ object SparkEntry {
       """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  ) ++ OpsQueries.oracleSql
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_folder_stats" ->
+      """SELECT source, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN source = 'src0' THEN 30 ELSE 15 END) AS BIGINT) AS est_seconds
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) ++ OpsQueries.oracleSql ++ graft.ops.Multimodal.oracleSql
 }
