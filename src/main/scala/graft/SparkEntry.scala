@@ -202,7 +202,8 @@ object SparkEntry {
             .cast("bigint").as("est_seconds"))
         .orderBy("source")
     })
-  ) ++ OpsQueries.queries ++ graft.ops.Multimodal.queries
+  ) ++ OpsQueries.queries ++ graft.ops.Multimodal.queries ++
+    graft.ops.TwoPass.queries
 
   def oracleSql: Map[String, String] = Map(
     "q_agg" ->

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's hyperlink-aware two-pass flow (SURVEY.md §3.3 /
+  * app_v5.py:172-218) as REAL Spark relational ops over the extraction
+  * output — not kernel code:
+  *   extracted markdown -> posexplode(lines) -> page-marker regex ->
+  *   forward-fill `last(..., ignoreNulls)` window (W1) ->
+  *   markdown-link regex_extract_all (X16) -> links with inherited page.
+  * Anchor emphasis markers are stripped like app_v5.py:205 (`\*{1,3}`).
+  */
+object TwoPass {
+
+  // X16 pattern (app_v5.py:198): [text](url)
+  private val linkPattern = "\\[([^\\]]+)\\]\\(([^)]+)\\)"
+  // the page marker the kernel emits (markdown_converter.py:28 analog)
+  private val markerPattern = "^<!-- Page (\\d+) -->$"
+
+  def linksFromMarkdown(extracted: DataFrame): DataFrame = {
+    val lines = extracted
+      .select(col("url"), posexplode(split(col("extracted_text"), "\n"))
+        .as(Seq("line_no", "line")))
+    val withMarker = lines.withColumn("marker",
+      when(regexp_extract(col("line"), markerPattern, 1) =!= "",
+        regexp_extract(col("line"), markerPattern, 1).cast("int")))
+    val w = Window.partitionBy(col("url")).orderBy(col("line_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPage = withMarker.withColumn("page",
+      coalesce(last(col("marker"), ignoreNulls = true).over(w), lit(1)))
+    withPage
+      .select(col("url"), col("page"), col("line_no"),
+        explode(regexp_extract_all(col("line"), lit(linkPattern), lit(0))).as("m"))
+      .select(col("url"), col("page"), col("line_no"),
+        // strip *…* emphasis from the anchor (app_v5.py:205-207)
+        regexp_replace(regexp_extract(col("m"), linkPattern, 1), "\\*{1,3}", "")
+          .as("anchor"),
+        regexp_extract(col("m"), linkPattern, 2).as("target"))
+      .filter(col("anchor") =!= "" && col("target") =!= "")
+      .filter(col("target") =!= "image") // app_v5.py:209 skips image pseudo-links
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_links_twopass" -> ((s: SparkSession, dir: String) => {
+      val extracted = graft.pipeline.Pipeline.extracted(
+        graft.pipeline.Pipeline.pages(s, dir))
+      linksFromMarkdown(extracted)
+        .select(col("url"), col("page"), col("anchor"), col("target"))
+        .orderBy("url", "page", "line_no")
+        .drop("line_no")
+    }),
+
+    // A10 content statistics over the extraction output
+    "x_content_stats" -> ((s: SparkSession, dir: String) => {
+      val extracted = graft.pipeline.Pipeline.extracted(
+        graft.pipeline.Pipeline.pages(s, dir))
+      extracted.select(
+        col("url"),
+        length(col("extracted_text")).cast("bigint").as("chars"),
+        size(filter(split(col("extracted_text"), "\\s+"), x => length(x) > 0))
+          .cast("bigint").as("words"),
+        size(split(col("extracted_text"), "\n")).cast("bigint").as("lines"),
+        regexp_count(col("extracted_text"), lit("(?m)^#{1,6} "))
+          .cast("bigint").as("headers"),
+        regexp_count(col("extracted_text"), lit(linkPattern))
+          .cast("bigint").as("links"),
+        regexp_count(col("extracted_text"), lit("(?m)^\\s*- "))
+          .cast("bigint").as("bullets"))
+        .orderBy("url")
+    }),
+
+    // A12 metadata completeness: present essential fields / 3 * 100
+    // (metadata_extractor.py:632-658)
+    "x_meta" -> ((s: SparkSession, dir: String) => {
+      val extracted = graft.pipeline.Pipeline.extracted(
+        graft.pipeline.Pipeline.pages(s, dir))
+      extracted.select(col("url"),
+          col("meta.title").as("title"),
+          col("meta.author").as("author"),
+          col("meta.keywords").as("keywords"),
+          col("meta.page_count").as("page_count"))
+        .withColumn("completeness",
+          round((when(col("title") =!= "", 1).otherwise(0) +
+            when(col("author") =!= "", 1).otherwise(0) +
+            when(col("keywords") =!= "", 1).otherwise(0)).cast("double")
+            / 3.0 * 100.0, 1))
+        .orderBy("url")
+    })
+  )
+}

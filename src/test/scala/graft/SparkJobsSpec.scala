@@ -128,6 +128,34 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.forall(_.docs_per_sec > 0))
   }
 
+  test("two-pass markdown link re-extraction agrees with the kernel links table") {
+    val extracted = Pipeline.extracted(pages).cache()
+    val kernelLinks = Pipeline.linksTable(extracted)
+      .filter(col("url").endsWith("/doc-7")) // 3-page doc, plain anchors
+      .select("page", "anchor", "target").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val twoPass = graft.ops.TwoPass.linksFromMarkdown(
+        extracted.filter(col("url").endsWith("/doc-7")))
+      .select("page", "anchor", "target").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(kernelLinks.nonEmpty)
+    assert(kernelLinks == twoPass)
+  }
+
+  test("graft_extract_text Catalyst expression matches the kernel output") {
+    graft.plans.ExtractText.register(spark)
+    val p = pages.limit(20)
+    p.createOrReplaceTempView("pages_v")
+    val viaExpr = spark.sql(
+      "SELECT url, graft_extract_text(html, text) AS t FROM pages_v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaUdf = Pipeline.extracted(p)
+      .select("url", "extracted_text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaExpr == viaUdf)
+    assert(viaExpr.size == 20)
+  }
+
   test("extraction plan is a single narrow map stage (no shuffle)") {
     val plan = Pipeline.extracted(pages)
       .queryExecution.executedPlan.toString
