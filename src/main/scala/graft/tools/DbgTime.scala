@@ -1,0 +1,16 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object DbgTime {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { q =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      println(s"$q rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+    }
+    spark.stop()
+  }
+}
