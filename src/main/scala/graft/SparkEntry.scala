@@ -39,7 +39,10 @@ object SparkEntry {
         .select(col("url"), explode(col("scores")).as("sc"))
         .select(col("url"), col("sc.page").as("page"),
           col("sc.total_score").as("total_score"),
-          col("sc.probability").as("probability"))
+          col("sc.probability").as("probability"),
+          col("sc.n_titles").as("n_titles"),
+          col("sc.n_subtitles").as("n_subtitles"),
+          col("sc.n_content").as("n_content"))
         .orderBy("url", "page")
     }),
 

@@ -84,7 +84,10 @@ object StructureScore {
       else 10
 
     PageScore(page.pageNumber, score, probability, reasons.result(),
-      blockCount = blocks.size, bulletCount = bulletCount)
+      blockCount = blocks.size, bulletCount = bulletCount,
+      titleCount = textBlocks.count(_.role == "title"),
+      subtitleCount = textBlocks.count(_.role == "subtitle"),
+      contentCount = textBlocks.count(_.role == "content"))
   }
 
   /** All page scores (the sidecar carries every page; the reference's

@@ -89,14 +89,18 @@ object DocMeta {
   val empty: DocMeta = DocMeta("", "", "", "", "", 0)
 }
 
-/** Per-page structure score (diagram_analyzer.py:456-463 analog). */
+/** Per-page structure score (diagram_analyzer.py:456-463 analog) + the A1
+  * per-page role counts (powerpoint_processor.py:315-342 get_processing_summary). */
 final case class PageScore(
     page: Int,
     totalScore: Int,
     probability: Int,
     reasons: Vector[String],
     blockCount: Int,
-    bulletCount: Int
+    bulletCount: Int,
+    titleCount: Int,
+    subtitleCount: Int,
+    contentCount: Int
 )
 
 /** Result of extracting one page row. `error` non-null => fallback path was

@@ -25,7 +25,8 @@ object Pipeline {
   final case class SpanOut(start: Int, end: Int, kind: String)
   final case class LinkOut(page: Int, anchor: String, target: String)
   final case class ScoreOut(page: Int, total_score: Int, probability: Int,
-      block_count: Int, bullet_count: Int)
+      block_count: Int, bullet_count: Int,
+      n_titles: Int, n_subtitles: Int, n_content: Int)
   final case class ExtractOut(
       extracted_text: String,
       spans: Seq[SpanOut],
@@ -43,7 +44,8 @@ object Pipeline {
       r.links.map(l => LinkOut(l.page, l.anchor, l.target)),
       r.meta.title, r.meta.author, r.meta.description, r.meta.keywords,
       r.meta.htmlLang, r.meta.pageCount,
-      r.scores.map(s => ScoreOut(s.page, s.totalScore, s.probability, s.blockCount, s.bulletCount)),
+      r.scores.map(s => ScoreOut(s.page, s.totalScore, s.probability,
+        s.blockCount, s.bulletCount, s.titleCount, s.subtitleCount, s.contentCount)),
       r.error)
   }
 
