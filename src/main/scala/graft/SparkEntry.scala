@@ -194,6 +194,29 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // ---- sessionization: 30-min-gap sessions per user (lag + running sum) --
+    "q_sessionize" -> ((s: SparkSession, dir: String) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exact integer microseconds on both engines (fractional-second
+      // EPOCH would round differently in DuckDB vs Spark)
+      t(s, dir, "events")
+        // parquet written by pandas is TIMESTAMP_NTZ; session TZ is UTC so
+        // the cast is a no-op reinterpretation matching DuckDB's EPOCH_US
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- A9 folder statistics analog (counts + weighted time estimate) ----
     "q_folder_stats" -> ((s: SparkSession, dir: String) => {
       // reference estimator: 30s per pptx-like + 15s per other
@@ -284,6 +307,23 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, EPOCH_US(ts) AS ts_us, event_id,
+        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+        |         OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(MIN(ts_us) AS BIGINT) AS start_us,
+        |  CAST(MAX(ts_us) AS BIGINT) AS end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_folder_stats" ->
       """SELECT source, COUNT(*) AS n,
         | CAST(SUM(CASE WHEN source = 'src0' THEN 30 ELSE 15 END) AS BIGINT) AS est_seconds

@@ -128,6 +128,19 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- embedding-cosine near-dup pairs (rows-only: the 0.35 threshold
+    // sits where engine float-accumulation order could flip pairs) ---------
+    "dd_embed_neardup" -> ((s: SparkSession, dir: String) => {
+      val e = embs(s, dir).filter(col("vec_id") < 500)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .withColumn("sim", cosine(col("ae"), col("be")))
+        .filter(col("sim") >= 0.35)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- brute-force cosine ANN top-k (the correctness baseline) -----------
     "ann_topk" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)

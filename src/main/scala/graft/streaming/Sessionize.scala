@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Custom streaming state via `flatMapGroupsWithState` (builder mandate:
+  * KeyValueGroupedDataset custom state): 30-minute-gap sessionization of an
+  * event stream, emitting a row per CLOSED session. Event-time timeout via
+  * watermark; the batch twin is SparkEntry's `q_sessionize` (lag + running
+  * sum), which the DuckDB oracle checks.
+  */
+object Sessionize {
+
+  /** ts kept as the watermarked timestamp column (event-time timeout needs
+    * the watermark attribute to survive into the grouped Dataset). */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp) {
+    def tsUs: Long = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+  }
+  final case class SessionState(start_us: Long, end_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  val gapUs: Long = 1800L * 1000000L
+
+  def eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Pure state-transition function (unit-testable without a stream). */
+  def updateState(userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.map(_.tsUs).toVector.sorted
+    val out = Vector.newBuilder[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { tsUs =>
+      cur match {
+        case Some(s) if tsUs - s.end_us <= gapUs =>
+          cur = Some(SessionState(s.start_us, math.max(s.end_us, tsUs), s.n + 1))
+        case Some(s) =>
+          out += SessionOut(userId, s.start_us, s.end_us, s.n)
+          cur = Some(SessionState(tsUs, tsUs, 1))
+        case None =>
+          cur = Some(SessionState(tsUs, tsUs, 1))
+      }
+    }
+    if (state.hasTimedOut) {
+      cur.foreach(s => out += SessionOut(userId, s.start_us, s.end_us, s.n))
+      state.remove()
+    } else cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.end_us / 1000L + gapUs / 1000L)
+    }
+    out.result().iterator
+  }
+
+  /** Run sessionization over a parquet event stream, AvailableNow. */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    import spark.implicits._
+    val events: Dataset[Ev] = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
+      .withWatermark("ts", "30 minutes")
+      .select("user_id", "ts").as[Ev]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
+    val q = sessions.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -156,6 +156,48 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaExpr.size == 20)
   }
 
+  test("stateful streaming sessionization emits closed sessions matching batch") {
+    val inDir = tmp(); val outDir = tmp() + "/out"; val ckpt = tmp() + "/ckpt"
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // 4 time-ordered chunks (events are roughly time-ordered by event_id)
+    (0 until 4).foreach { chunk =>
+      events.filter(col("event_id") % 4 === chunk || lit(false)).limit(0) // no-op guard
+      events.filter(col("event_id") >= chunk * 250 && col("event_id") < (chunk + 1) * 250)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    graft.streaming.Sessionize.run(spark, inDir, outDir, ckpt)
+    val streamed = spark.read.parquet(outDir)
+      .select("user_id", "start_us", "end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    // every emitted session must appear in the batch sessionization
+    val batch = SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "start_us", "end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
+  }
+
+  test("pages round-trip through csv/json sources; links csv sink (S10)") {
+    val p = pages.limit(50).cache()
+    val csvDir = tmp() + "/pages_csv"
+    graft.sources.PagesSource.writeCsv(p, csvDir)
+    val backCsv = graft.sources.PagesSource.readCsv(spark, csvDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("url", "md5(html) AS h", "text", "lang").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(key(backCsv) == key(p))
+    val jsonDir = tmp() + "/pages_json"
+    graft.sources.PagesSource.writeJson(p, jsonDir)
+    assert(key(graft.sources.PagesSource.readJson(spark, jsonDir)) == key(p))
+    val links = Pipeline.linksTable(Pipeline.extracted(p))
+    val linksDir = tmp() + "/links_csv"
+    graft.sources.PagesSource.writeLinksCsv(links, linksDir)
+    val back = graft.sources.PagesSource.readLinksCsv(spark, linksDir)
+    assert(back.count() == links.count())
+    assert(back.collect().map(_.toSeq).toSet == links.collect().map(_.toSeq).toSet)
+  }
+
   test("extraction plan is a single narrow map stage (no shuffle)") {
     val plan = Pipeline.extracted(pages)
       .queryExecution.executedPlan.toString
