@@ -27,6 +27,12 @@ object Runs {
     * `stopAtNestedLists`: when building an <li>'s own paragraph, nested
     * <ul>/<ol> children are separate items, not part of this run list.
     */
+  // block-ish tags that, when (invalidly) nested inside inline content,
+  // must still act as word separators — real-world HTML does this
+  private val blockBoundary = Set("p", "div", "li", "ul", "ol", "tr", "td",
+    "th", "table", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote",
+    "section", "article")
+
   private def rawRuns(el: Elem, stopAtNestedLists: Boolean): Vector[(String, Flags)] = {
     val out = new ArrayBuffer[(String, Flags)]()
     def go(n: Node, f: Flags): Unit = n match {
@@ -42,6 +48,10 @@ object Runs {
             val href = UrlFix.fixUrl(e.attr("href"))
             val f2 = if (href.nonEmpty) f.copy(link = href) else f
             e.children.foreach(go(_, f2))
+          case tag if blockBoundary.contains(tag) =>
+            out += (("\n", f))
+            e.children.foreach(go(_, f))
+            out += (("\n", f))
           case _ => e.children.foreach(go(_, f))
         }
       case _ => ()

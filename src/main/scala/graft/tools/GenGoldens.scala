@@ -30,6 +30,23 @@ object GenGoldens {
     val outDir = Paths.get(
       if (args.nonEmpty) args(0) else "src/test/resources/golden")
     Files.createDirectories(outDir)
+    // handcrafted fixtures (src/test/resources/fixtures/*.html): golden =
+    // extraction over the file bytes with empty text fallback
+    val fixturesDir = Paths.get("src/test/resources/fixtures")
+    if (Files.isDirectory(fixturesDir)) {
+      Files.list(fixturesDir).iterator().forEachRemaining { f =>
+        if (f.getFileName.toString.endsWith(".html")) {
+          val name = f.getFileName.toString.stripSuffix(".html")
+          val r = graft.extract.Extractor.extract(Files.readAllBytes(f), "")
+          require(r.error == null, s"fixture $name errored: ${r.error}")
+          Files.write(outDir.resolve(s"fixture-$name.txt"),
+            r.extractedText.getBytes(StandardCharsets.UTF_8))
+          val linkLines = r.links.map(l => s"${l.page}\t${l.anchor}\t${l.target}").mkString("\n")
+          Files.write(outDir.resolve(s"fixture-$name.links.tsv"),
+            linkLines.getBytes(StandardCharsets.UTF_8))
+        }
+      }
+    }
     seedDocs.foreach { case (id, text, lang) =>
       val page = graft.synth.Synth.pageFor(id, text, lang)
       val r = graft.extract.Extractor.extract(page.html, page.text)

@@ -16,6 +16,25 @@ import graft.tools.GenGoldens
   */
 class GoldenSpec extends AnyFunSuite {
   private val dir = Paths.get("src/test/resources/golden")
+  private val fixturesDir = Paths.get("src/test/resources/fixtures")
+
+  import scala.jdk.CollectionConverters._
+  Files.list(fixturesDir).iterator().asScala.toVector
+    .filter(_.getFileName.toString.endsWith(".html")).sortBy(_.toString)
+    .foreach { f =>
+      val name = f.getFileName.toString.stripSuffix(".html")
+      test(s"fixture $name extraction is byte-identical to golden") {
+        val r = Extractor.extract(Files.readAllBytes(f), "")
+        assert(r.error == null)
+        val goldenText = new String(
+          Files.readAllBytes(dir.resolve(s"fixture-$name.txt")), StandardCharsets.UTF_8)
+        assert(r.extractedText == goldenText, s"fixture $name text diverged")
+        val goldenLinks = new String(
+          Files.readAllBytes(dir.resolve(s"fixture-$name.links.tsv")), StandardCharsets.UTF_8)
+        val actualLinks = r.links.map(l => s"${l.page}\t${l.anchor}\t${l.target}").mkString("\n")
+        assert(actualLinks == goldenLinks, s"fixture $name links diverged")
+      }
+    }
 
   GenGoldens.seedDocs.foreach { case (id, text, lang) =>
     test(s"doc-$id extraction is byte-identical to golden") {
