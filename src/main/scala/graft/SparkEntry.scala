@@ -194,6 +194,33 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // ---- ROLLUP aggregation (beyond the reference; Spark built-in) ---------
+    "q_rollup" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // ---- set operators: UNION / INTERSECT / EXCEPT --------------------------
+    "q_setops" -> ((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+      val hi = li.filter(col("l_quantity") >= 49).select(col("l_partkey"))
+      val ret = li.filter(col("l_returnflag") === "R" && col("l_quantity") <= 2)
+        .select(col("l_partkey"))
+      val u = hi.union(ret).distinct().withColumn("op", lit("union"))
+      val i = hi.intersect(ret).withColumn("op", lit("intersect"))
+      val e = hi.except(ret).withColumn("op", lit("except"))
+      u.union(i).union(e)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          sum(col("l_partkey")).cast("bigint").as("key_sum"))
+        .orderBy("op")
+    }),
+
     // ---- sessionization: 30-min-gap sessions per user (lag + running sum) --
     "q_sessionize" -> ((s: SparkSession, dir: String) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -307,6 +334,21 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_setops" ->
+      """WITH hi AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |ret AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 2),
+        |u AS (SELECT DISTINCT l_partkey, 'union' AS op FROM (SELECT * FROM hi UNION ALL SELECT * FROM ret)),
+        |i AS (SELECT l_partkey, 'intersect' AS op FROM (SELECT * FROM hi INTERSECT SELECT * FROM ret)),
+        |e AS (SELECT l_partkey, 'except' AS op FROM (SELECT * FROM hi EXCEPT SELECT * FROM ret))
+        |SELECT op, COUNT(*) AS n, CAST(SUM(l_partkey) AS BIGINT) AS key_sum
+        |FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
+        |GROUP BY op ORDER BY op""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, EPOCH_US(ts) AS ts_us, event_id,
