@@ -274,6 +274,26 @@ class KernelSpec extends AnyFunSuite {
     assert(res.spans == Vector(Span(0, 15, "fallback")))
   }
 
+  test("extract handles megabyte-scale documents") {
+    val sb = new StringBuilder("<html><body><main>")
+    var i = 0
+    while (i < 20000) {
+      sb.append(s"<p>paragraph number $i with some repeated words and <b>bold</b> "
+        + s"plus <a href=\"https://t$i.example.com\">link $i</a></p>")
+      i += 1
+    }
+    sb.append("</main></body></html>")
+    val bytes = sb.toString.getBytes("UTF-8") // ~2.5 MB
+    val t0 = System.nanoTime()
+    val r = Extractor.extract(bytes, "")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.error == null)
+    assert(r.extractedText.length > 1000000)
+    assert(r.links.size == 20000)
+    assert(r.spans.size == 20001) // marker + one span per paragraph
+    assert(sec < 30, s"2.5MB doc took ${sec}s — superlinear blowup?")
+  }
+
   test("extract is deterministic") {
     val html = "<body><h1>T</h1><p>para</p></body>".getBytes("UTF-8")
     val a = Extractor.extract(html, "")
