@@ -194,6 +194,45 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // ---- exact percentiles / median ------------------------------------------
+    "q_median" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_discount, 0.5)"), 4).as("median_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- scalar string-function battery (X-row breadth) ----------------------
+    "q_strfuncs" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          length(col("p_name")).cast("int").as("len"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          reverse(col("p_type")).as("rev"),
+          lpad(col("p_brand"), 12, "_").as("pad"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          levenshtein(col("p_brand"), col("p_type")).cast("int").as("lev"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- date/time scalar functions -------------------------------------------
+    "q_datefuncs" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"),
+          dayofmonth(col("o_orderdate")).cast("int").as("d"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"),
+          datediff(lit("1998-12-31").cast("date"),
+            col("o_orderdate").cast("date")).cast("int").as("days_to_end"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- ROLLUP aggregation (beyond the reference; Spark built-in) ---------
     "q_rollup" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "lineitem")
@@ -334,6 +373,30 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+        | ROUND(QUANTILE_CONT(l_discount, 0.5), 4) AS median_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_strfuncs" ->
+      """SELECT p_partkey,
+        | UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+        | CAST(LENGTH(p_name) AS INT) AS len,
+        | SUBSTRING(p_name, 1, 5) AS pre,
+        | REVERSE(p_type) AS rev,
+        | LPAD(p_brand, 12, '_') AS pad,
+        | REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS novowel,
+        | CAST(LEVENSHTEIN(p_brand, p_type) AS INT) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_datefuncs" ->
+      """SELECT o_orderkey,
+        | CAST(YEAR(o_orderdate) AS INT) AS y,
+        | CAST(MONTH(o_orderdate) AS INT) AS m,
+        | CAST(DAY(o_orderdate) AS INT) AS d,
+        | STRFTIME(o_orderdate, '%Y-%m-%d') AS iso,
+        | CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
