@@ -25,8 +25,11 @@ object Boilerplate {
 
   def isBoilerplate(el: Elem): Boolean = {
     if (boilerTags.contains(el.tag)) return true
-    val marker = el.attr("class") + " " + el.attr("id")
-    if (marker.trim.nonEmpty && furnitureToken.findFirstIn(marker).isDefined) return true
+    if (el.attrs.nonEmpty) {
+      val marker = el.attr("class") + " " + el.attr("id")
+      if (marker.trim.nonEmpty && furnitureToken.findFirstIn(marker).isDefined)
+        return true
+    }
     if (containerTags.contains(el.tag)) {
       val (total, inLink, words) = charCounts(el)
       if (total > 0) {
@@ -37,13 +40,16 @@ object Boilerplate {
   }
 
   /** (visible chars, visible chars under an <a>, word count) in ONE subtree
-    * traversal — no intermediate string materialization (hot path: runs per
-    * container element). */
+    * traversal — no intermediate string materialization. Aborts as soon as
+    * the word count reaches 50: past that the link-density rule can never
+    * fire, which bounds the cost of re-checking every nesting level of a
+    * deep content container chain to O(50 words) per level instead of
+    * O(subtree) (the walker calls this once per container element). */
   private def charCounts(el: Elem): (Int, Int, Int) = {
     var total = 0
     var linked = 0
     var words = 0
-    def go(n: Node, inA: Boolean): Unit = n match {
+    def go(n: Node, inA: Boolean): Boolean = n match { // false = aborted
       case t: TextNode =>
         val v = t.value
         var i = 0
@@ -53,18 +59,22 @@ object Boilerplate {
           if (!Character.isWhitespace(c)) {
             total += 1
             if (inA) linked += 1
-            if (!inWord) words += 1
+            if (!inWord) {
+              words += 1
+              if (words >= 50) return false
+            }
             inWord = true
           } else inWord = false
           i += 1
         }
+        true
       case e: Elem =>
         e.tag match {
-          case "script" | "style" | "template" | "noscript" => ()
-          case "a" => e.children.foreach(go(_, inA = true))
-          case _   => e.children.foreach(go(_, inA))
+          case "script" | "style" | "template" | "noscript" => true
+          case "a" => e.children.forall(go(_, inA = true))
+          case _   => e.children.forall(go(_, inA))
         }
-      case _ => ()
+      case _ => true
     }
     go(el, inA = false)
     (total, linked, words)

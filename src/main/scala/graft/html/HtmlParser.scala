@@ -125,8 +125,9 @@ object HtmlParser {
           while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-' ||
             html.charAt(j) == ':')) j += 1
           val tag = html.substring(i + 1, j).toLowerCase
-          // parse attributes up to '>' (respecting quotes)
-          val attrs = Map.newBuilder[String, String]
+          // parse attributes up to '>' (respecting quotes); most elements
+          // carry none — avoid builder allocation for that case
+          var attrs: Map[String, String] = null
           var selfClose = false
           var k = j
           var done = false
@@ -161,12 +162,15 @@ object HtmlParser {
                     avalue = html.substring(vs, k)
                   }
                 }
-                if (aname.nonEmpty) attrs += (aname -> Entities.decode(avalue))
+                if (aname.nonEmpty) {
+                  if (attrs == null) attrs = Map.empty
+                  attrs = attrs.updated(aname, Entities.decode(avalue))
+                }
             }
           }
           i = k
           impliedCloses(tag)
-          val el = new Elem(tag, attrs.result())
+          val el = new Elem(tag, if (attrs == null) Map.empty else attrs)
           stack.last.children += el
           if (rawTextTags.contains(tag) && !selfClose) {
             // raw text: scan for the matching case-insensitive close tag.
