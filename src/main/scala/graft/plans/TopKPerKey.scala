@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator plan: exact top-k rows per key — the reference's
+  * keep-best-per-group dedup (D2, hyperlink_extractor.py:172-195) and
+  * top-k-per-group (O-rows) as a first-class operator.
+  *
+  * Why custom (SURVEY.md §2.2 option (c)): the built-in formulation is
+  * `row_number() OVER (PARTITION BY key ORDER BY ord) <= k`, whose physical
+  * plan SORTS every partition fully (O(n log n) over all rows and a full
+  * materialization). This operator keeps a bounded k-heap per key
+  * (O(n log k), no sort, no full buffering) after clustering by key — at
+  * 10^12 rows with small k that is the difference between a sort of the
+  * whole shuffle output and a streaming pass.
+  *
+  * Distribution contract: `requiredChildDistribution = ClusteredDistribution`
+  * — EnsureRequirements inserts the hash exchange, so every key's rows meet
+  * in one partition and the per-partition heaps are globally exact.
+  */
+final case class TopKPerKeyNode(
+    groupExprs: Seq[Expression],
+    order: SortOrder,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+final case class TopKPerKeyExec(
+    groupExprs: Seq[Expression],
+    order: SortOrder,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupExprsLocal = groupExprs
+    val orderLocal = order
+    val kLocal = k
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
+      val rowOrdering = GenerateOrdering.generate(Seq(orderLocal), childOutput)
+      // per key: bounded heap holding the CURRENT top-k (max-heap on the
+      // ordering so the worst retained row is at the head)
+      val heaps = new java.util.HashMap[InternalRow,
+        java.util.PriorityQueue[InternalRow]]()
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1,
+            rowOrdering.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy())
+        else if (rowOrdering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values.forEach { h =>
+        // emit in ascending order of the SortOrder within each key
+        val rows = new Array[InternalRow](h.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = h.poll(); i -= 1 }
+        out ++= rows
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to the exec (injectable via
+  * GraftExtensions or `spark.experimental.extraStrategies`). */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(g, o, k, child) =>
+      TopKPerKeyExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -89,6 +89,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pdf route is total on arbitrary bytes after the magic prefix") {
+    val pdfGen = Gen.listOf(Gen.chooseNum(0, 255)).map { bytes =>
+      "%PDF-1.4".getBytes("ISO-8859-1") ++ bytes.map(_.toByte).toArray
+    }
+    forAll(pdfGen, 150) { bytes =>
+      val r = Extractor.extract(bytes, "fb")
+      assert(r.extractedText != null)
+      r.spans.foreach(s => assert(s.start >= 0 && s.end <= r.extractedText.length))
+    }
+  }
+
+  test("pdf parser is total on fragments of valid pdfs") {
+    val (valid, _) = graft.pdf.PdfGen.synthPdf(13L, Array("alpha", "beta", "gamma"))
+    forAll(Gen.chooseNum(5, valid.length), 100) { cut =>
+      val r = Extractor.extract(java.util.Arrays.copyOf(valid, cut), "fb")
+      assert(r.extractedText != null)
+    }
+  }
+
   test("synth corpus: every docId extracts cleanly at any id") {
     forAll(Gen.chooseNum(0L, 100000L)) { id =>
       val page = graft.synth.Synth.pageFor(id, "alpha beta gamma delta " * 8, "en")

@@ -161,7 +161,6 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // 4 time-ordered chunks (events are roughly time-ordered by event_id)
     (0 until 4).foreach { chunk =>
-      events.filter(col("event_id") % 4 === chunk || lit(false)).limit(0) // no-op guard
       events.filter(col("event_id") >= chunk * 250 && col("event_id") < (chunk + 1) * 250)
         .coalesce(1).write.mode("append").parquet(inDir)
     }
@@ -196,6 +195,28 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = graft.sources.PagesSource.readLinksCsv(spark, linksDir)
     assert(back.count() == links.count())
     assert(back.collect().map(_.toSeq).toSet == links.collect().map(_.toSeq).toSet)
+  }
+
+  test("custom TopKPerKey operator matches the window formulation, without a Sort") {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.expressions.{Window => W}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val viaCustom = GraftBridge.topKPerKey(orders, Seq("o_custkey"), "o_totalprice", 3)
+    // tie-safety: compare (custkey -> multiset of prices), not orderkeys
+    val customSet = viaCustom.select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val w = W.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(customSet == viaWindow)
+    // plan shape: our exec + an inserted hash exchange, and NO Sort node
+    val plan = viaCustom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(plan.contains("Exchange"))
+    assert(!plan.contains("Sort"), s"custom top-k must not sort:\n$plan")
   }
 
   test("extraction plan is a single narrow map stage (no shuffle)") {
