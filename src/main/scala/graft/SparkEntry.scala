@@ -194,6 +194,15 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // ---- custom TopKPerKey physical operator (plans/TopKPerKey.scala) ------
+    "q_topk_custom" -> ((s: SparkSession, dir: String) => {
+      val top = org.apache.spark.sql.graftbridge.GraftBridge.topKPerKey(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_totalprice", 3)
+      top.select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+        .orderBy(col("o_custkey"), col("price_cents").desc)
+    }),
+
     // ---- exact percentiles / median ------------------------------------------
     "q_median" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "lineitem")
@@ -373,6 +382,12 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT o_custkey,
+        | CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, price_cents DESC""".stripMargin,
     "q_median" ->
       """SELECT l_returnflag,
         | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,

@@ -19,7 +19,8 @@ object PlanCheck {
 
     val interesting = Vector(
       "x_extract", "q_agg", "q_join_collect", "q_forward_fill", "q_topk",
-      "dd_minhash_lsh", "dd_exact", "ann_topk", "ta_langid", "q_time_window")
+      "q_topk_custom", "dd_minhash_lsh", "dd_exact", "ann_topk", "ta_langid",
+      "q_time_window")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of headline queries (local mode)\n\n")
@@ -58,6 +59,12 @@ object PlanCheck {
           check("hash aggregate (not sort-based)", plan.contains("HashAggregate"))
         case "ann_topk" =>
           check("broadcast on the query side", plan.contains("Broadcast"))
+        case "q_topk_custom" =>
+          check("custom TopKPerKey exec planned", plan.contains("TopKPerKey"))
+          // the only Sort allowed is the final deterministic output orderBy
+          // ABOVE the operator — the top-k itself must not sort its input
+          check("no Sort below the custom top-k",
+            "\\(\\d+\\) Sort".r.findAllIn(plan).size <= 1)
         case _ => ()
       }
       md.append("\n")
