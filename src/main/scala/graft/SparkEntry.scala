@@ -194,6 +194,18 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // ---- approximate aggregates (HLL / quantile sketch; rows-only check —
+    // sketch internals are engine-specific, exactness verified elsewhere) ---
+    "q_approx" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2)
+            .as("approx_median_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- custom TopKPerKey physical operator (plans/TopKPerKey.scala) ------
     "q_topk_custom" -> ((s: SparkSession, dir: String) => {
       val top = org.apache.spark.sql.graftbridge.GraftBridge.topKPerKey(

@@ -65,6 +65,16 @@ object Fidelity {
   def processingPriority(kind: String): Int =
     processingPriorities.getOrElse(Option(kind).getOrElse("").toLowerCase, 999)
 
+  /** X5: bullet-level resolution precedence (text_processor.py:254-285):
+    * xml-bullet+xml-level > xml-bullet+ppt-level > xml-bullet+0 >
+    * ppt-level > -1. Our DOM analog (li nesting depth) uses this with
+    * xmlLevel = nesting depth; ported exactly for PPTX-derived workloads. */
+  def determineBulletLevel(isXmlBullet: Boolean, xmlLevel: Option[Int],
+      pptLevel: Option[Int]): Int = {
+    if (isXmlBullet) xmlLevel.getOrElse(pptLevel.getOrElse(0))
+    else pptLevel.getOrElse(-1)
+  }
+
   /** X23: MB formatting — bytes/1024^2 at 2 decimals
     * (metadata_extractor.py:504-505). */
   def formatMb(bytes: Long): Double =

@@ -38,6 +38,14 @@ class FidelitySpec extends AnyFunSuite {
     assert(Fidelity.processingPriority("weird") == 999)
   }
 
+  test("X5 bullet level precedence (text_processor.py:254-285)") {
+    assert(Fidelity.determineBulletLevel(true, Some(2), Some(1)) == 2)
+    assert(Fidelity.determineBulletLevel(true, None, Some(1)) == 1)
+    assert(Fidelity.determineBulletLevel(true, None, None) == 0)
+    assert(Fidelity.determineBulletLevel(false, Some(2), Some(1)) == 1)
+    assert(Fidelity.determineBulletLevel(false, None, None) == -1)
+  }
+
   test("X23 MB formatting: 2dp of bytes/1024^2") {
     assert(Fidelity.formatMb(1048576L) == 1.0)
     assert(Fidelity.formatMb(1572864L) == 1.5)
