@@ -33,7 +33,7 @@ object ExtractBench {
       (System.nanoTime() - t0) / 1e9
     }
     pass(); pass() // JIT warmup (this JVM is cold by design)
-    val sec = (1 to 4).map(_ => pass()).min
+    val sec = (1 to 3).map(_ => pass()).min
     println(s"RESULT docs=$docs sec=$sec")
     spark.stop()
   }
