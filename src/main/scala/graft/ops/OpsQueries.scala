@@ -245,6 +245,18 @@ object OpsQueries {
         .select(col("doc_id"),
           md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // ---- rolling-hash fingerprint: modular polynomial fold over tokens
+    // (h = (h*31 + tokval) mod 1e9+7 — engine-portable integer arithmetic) --
+    "ta_rollhash" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"),
+          aggregate(col("t"), lit(7L),
+            (h, t) => pmod(h * 31 + (length(t).cast("long") * 131 + ascii(t)),
+              lit(1000000007L))).as("rollhash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -311,6 +323,14 @@ object OpsQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_rollhash" ->
+      """SELECT doc_id,
+        | LIST_REDUCE(
+        |   LIST_PREPEND(CAST(7 AS BIGINT),
+        |     LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(text,' '), x -> LENGTH(x) > 0),
+        |       t -> CAST(LENGTH(t) * 131 + ASCII(t) AS BIGINT))),
+        |   (h, x) -> (h * 31 + x) % 1000000007) AS rollhash
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
