@@ -162,13 +162,19 @@ object OpsQueries {
     // 12-bit signatures bucket the corpus; queries probe their own bucket.
     "ann_lsh" -> ((s: SparkSession, dir: String) => {
       val nBits = 6 // 64 buckets — sized so small corpora still populate buckets
+      val dims = 64
+      // deterministic ±1 hyperplanes as LITERAL arrays — constants must not
+      // be re-hashed per element per row (xorshift of (plane, dim))
+      def sign(p: Int, d: Int): Double = {
+        var x = p.toLong * 1315423911L + d.toLong * 2654435761L + 17L
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        if (((x * 0x2545f4914f6cdd1dL) >>> 63) == 0L) 1.0 else -1.0
+      }
       def sigOf(e: Column): Column = {
         val bits = (0 until nBits).map { p =>
-          // deterministic pseudo-hyperplane: weight(d) = hash(p, d) mapped to ±1
+          val plane = array((0 until dims).map(d => lit(sign(p, d))): _*)
           val dotSign = aggregate(
-            zip_with(e, sequence(lit(0), size(e) - 1),
-              (v, i) => v.cast("double") *
-                when(pmod(xxhash64(lit(p), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+            zip_with(e, plane, (v, w) => v.cast("double") * w),
             lit(0.0), (acc, v) => acc + v)
           when(dotSign > 0, shiftleft(lit(1), p)).otherwise(lit(0))
         }
