@@ -30,6 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin locale: default-locale toLowerCase would break goldens under e.g.
+  // tr_TR (dotless-i); keeps string behavior identical across environments
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // ParallelGC beats G1 ~2x at 32 threads on this allocation-heavy batch
