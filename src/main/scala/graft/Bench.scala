@@ -45,6 +45,10 @@ object Bench {
     val cmd = Seq(s"$javaHome/bin/java", "-cp", cp) ++ addOpens ++ Seq(
       "-Xms12g", "-Xmx12g", "-XX:+UseParallelGC",
       s"-XX:ActiveProcessorCount=$cores",
+      // pin the child JVM locale too: the kernel uses Locale.ROOT everywhere,
+      // but Spark/JDK internals (formatting, collation) should not drift with
+      // the host default locale either
+      "-Duser.language=en", "-Duser.country=US",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "graft.tools.ExtractBench", cores.toString, sfDir, nTarget.toString)
     val pb = new ProcessBuilder(cmd: _*)
@@ -79,22 +83,20 @@ object Bench {
     // machines. Measures framework + shuffle-free-pipeline scaling.
     // Adjacent N->4N trials: an adjacent pair sees near-identical host
     // conditions, so per-trial efficiency is robust to the sandbox's
-    // transient throttling (which recovers when idle — measured). Up to 3
-    // trials with cooldowns; the best-conditioned trial is reported. The
-    // engine's scaling is a constant being estimated; the retries only
-    // shop for an unthrottled measurement window (disclosed in BENCH.md).
+    // transient throttling (which recovers when idle — measured). A FIXED
+    // count of 3 trials is run and the MEDIAN-efficiency trial reported —
+    // an unbiased estimator (max-until-pass would condition the sample on
+    // the acceptance threshold and inflate the result).
     val ratio = smallCores.toDouble / tinyCores
-    var best: ((Long, Double), (Long, Double), Double) = null
-    var trial = 0
-    while (trial < 3 && (best == null || best._3 < 0.8)) {
+    val trials = (0 until 3).map { trial =>
       if (trial > 0) { cooldown(); cooldown() }
       val n = timeExtraction(tinyCores, sfDir, targetTiny)
       val n4 = timeExtraction(smallCores, sfDir, targetTiny)
       val eff = ((n4._1 / n4._2) / (n._1 / n._2)) / ratio
-      if (best == null || eff > best._3) best = (n, n4, eff)
-      trial += 1
+      (n, n4, eff)
     }
-    val ((docsT, secT), (docsTm, secTm), effA) = best
+    val ((docsT, secT), (docsTm, secTm), effA) = trials.sortBy(_._3)(Ordering.Double.TotalOrdering)(1)
+    val effAll = trials.map(_._3)
 
     // Pair B (same-socket stress): N=cpus/4 vs 4N=cpus cores on the full
     // corpus. The 4N level saturates the whole socket, so this additionally
@@ -111,17 +113,24 @@ object Bench {
     // per-query timing session
     val s2 = session(cpus)
 
-    // per-query timings at full parallelism
+    // per-query timings at full parallelism; failures are RECORDED, never
+    // silently timed as successes (a crash must not masquerade as a speedup)
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(s2, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(s2, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH query $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val failed = results.collect { case (n, _, false) => n }
     s2.stop()
 
     def d(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val scaling = s"""{"cores_n":$smallCores,"cores_4n":$cpus,""" +
       s""""docs":$docsB,"sec_n":${d(secS)},"sec_4n":${d(secB)},""" +
@@ -130,8 +139,10 @@ object Bench {
       s""""cluster_proxy":{"cores_n":$tinyCores,"cores_4n":$smallCores,""" +
       s""""docs":$docsTm,"sec_n":${d(secT)},"sec_4n":${d(secTm)},""" +
       s""""docs_per_sec_n":${d(docsT / secT)},"docs_per_sec_4n":${d(docsTm / secTm)},""" +
-      s""""efficiency":${d(effA)}}}"""
+      s""""efficiency":${d(effA)},""" +
+      s""""efficiency_trials":${effAll.map(d).mkString("[", ",", "]")}}}"""
     println(s"""{"metric":"total","value":${d(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,""" +
       s""""sf":"$sfDir","docs_per_sec":${d(thrB)},"scaling":$scaling}""")
 
     // human-readable BENCH.md
@@ -146,10 +157,10 @@ object Bench {
       "best-of-3 timed passes. This sandbox host throttles ~30% under " +
       "sustained all-core load and recovers when idle (measured with a pure " +
       "spin probe), so pair A runs as adjacent N->4N trials (near-identical " +
-      "host conditions within a trial) retried up to 3x with cooldowns until " +
-      "an unthrottled window is found — the engine's scaling is the constant " +
-      "being estimated; retries only shop for a clean measurement window. " +
-      "Pair A keeps both levels far below the socket's " +
+      "host conditions within a trial). A FIXED 3 trials run with cooldowns " +
+      "and the MEDIAN-efficiency trial is reported (all trial efficiencies: " +
+      effAll.map(d).mkString(", ") + ") — an unbiased estimator, unlike " +
+      "max-until-pass. Pair A keeps both levels far below the socket's " +
       "32 cores, so neither run contends for shared L3/memory bandwidth — the " +
       "faithful stand-in for N vs 4N executors on separate machines. Pair B's " +
       "4N level saturates the whole socket and additionally absorbs shared-" +
@@ -165,9 +176,11 @@ object Bench {
     md.append("(BASELINE.md); this engine at 4N: " +
       f"${thrB / 0.07}%.0fx the reference's best case.\n\n")
     md.append("## Per-query wall times (seconds, local[" + cpus + "])\n\n")
-    md.append("| query | sec |\n|---|---|\n")
-    results.foreach { case (k, v) => md.append(s"| $k | ${d(v)} |\n") }
-    md.append(s"| **total** | **${d(total)}** |\n")
+    md.append("| query | sec | status |\n|---|---|---|\n")
+    results.foreach { case (k, v, ok) =>
+      md.append(s"| $k | ${d(v)} | ${if (ok) "ok" else "**FAILED**"} |\n") }
+    md.append(s"| **total** | **${d(total)}** | ${if (failed.isEmpty) "all ok"
+      else s"${failed.size} failed"} |\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.md"),
       md.toString.getBytes("UTF-8"))
   }

@@ -71,15 +71,20 @@ final case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values.forEach { h =>
-        // emit in ascending order of the SortOrder within each key
-        val rows = new Array[InternalRow](h.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = h.poll(); i -= 1 }
-        out ++= rows
+      // Lazy emission: drain one k-bounded heap at a time (ascending order of
+      // the SortOrder within each key) — no whole-partition output buffer.
+      // Retained memory = k rows per distinct key in this partition, the same
+      // key-space bound as a hash aggregate over the same grouping; like
+      // ObjectHashAggregate pre-fallback this assumes the clustered key space
+      // per partition fits on heap (holds when k*|keys|/P << heap; for
+      // pathological key cardinality use the window formulation instead).
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator.asScala.flatMap { h =>
+        val drained = new Array[InternalRow](h.size)
+        var i = drained.length - 1
+        while (i >= 0) { drained(i) = h.poll(); i -= 1 }
+        drained.iterator
       }
-      out.iterator
     }
   }
 

@@ -36,7 +36,11 @@ object Sessionize {
     sorted.foreach { tsUs =>
       cur match {
         case Some(s) if tsUs - s.end_us <= gapUs =>
-          cur = Some(SessionState(s.start_us, math.max(s.end_us, tsUs), s.n + 1))
+          // late-but-within-watermark events may precede the stored start:
+          // min-merge keeps cross-batch out-of-order input consistent with
+          // the batch twin (q_sessionize sorts globally)
+          cur = Some(SessionState(math.min(s.start_us, tsUs),
+            math.max(s.end_us, tsUs), s.n + 1))
         case Some(s) =>
           out += SessionOut(userId, s.start_us, s.end_us, s.n)
           cur = Some(SessionState(tsUs, tsUs, 1))
