@@ -65,6 +65,10 @@ object BlockWalker {
       case "a" if linkWrappedImage(el).isDefined =>
         val img = linkWrappedImage(el).get
         blocks += ImageBlock("other", img.attr("alt").trim, UrlFix.fixUrl(el.attr("href")))
+      case "figure" if el.attr("data-chart").nonEmpty =>
+        blocks += chartOf(el, "")
+      case "a" if linkWrappedChart(el).isDefined =>
+        blocks += chartOf(linkWrappedChart(el).get, UrlFix.fixUrl(el.attr("href")))
       case t if containerTags.contains(t) => walkInto(el)
       case t if inlineTags.contains(t) => pending += el
       case _ => walkInto(el) // unknown tags: recurse, err on inclusion
@@ -85,7 +89,7 @@ object BlockWalker {
     }
 
     def isBlockImageAnchor(e: Elem): Boolean =
-      e.tag == "a" && linkWrappedImage(e).isDefined
+      e.tag == "a" && (linkWrappedImage(e).isDefined || linkWrappedChart(e).isDefined)
 
     walkInto(root)
     blocks.toVector
@@ -94,10 +98,12 @@ object BlockWalker {
   /** An <a> whose content is a single meaningful-alt <img> (and whitespace)
     * renders as a linked image block (X13 hyperlink wrap). */
   private def linkWrappedImage(a: Elem): Option[Elem] = {
+    // .toVector: ArrayBuffer is mutable.Seq — the immutable Seq extractor
+    // below would silently never match it (Scala 2.13)
     val significant = a.children.filter {
       case t: TextNode => t.value.exists(!_.isWhitespace)
       case _           => true
-    }
+    }.toVector
     significant match {
       case Seq(img: Elem) if img.tag == "img" &&
         Markdown.hasMeaningfulAltText(img.attr("alt")) => Some(img)
@@ -134,8 +140,7 @@ object BlockWalker {
     def findRows(el: Elem): Unit = el.children.foreach {
       case e: Elem if e.tag == "tr" =>
         val cells = e.children.collect {
-          case c: Elem if c.tag == "td" || c.tag == "th" =>
-            Runs.paragraphOf(c).map(_.cleanText).getOrElse("")
+          case c: Elem if c.tag == "td" || c.tag == "th" => cellContent(c)
         }.toVector
         if (cells.nonEmpty) rows += cells
       case e: Elem if e.tag == "thead" || e.tag == "tbody" || e.tag == "tfoot" =>
@@ -144,5 +149,59 @@ object BlockWalker {
     }
     findRows(tableEl)
     rows.toVector
+  }
+
+  /** Cell content with list bulletization (content_extractor.py:344-360):
+    * bullet paragraphs render as `"  "*level + "• " + text`, other
+    * paragraphs as plain clean text, all joined with a single space. */
+  private def cellContent(c: Elem): String = {
+    val hasList = c.children.exists {
+      case e: Elem => e.tag == "ul" || e.tag == "ol"
+      case _       => false
+    }
+    if (!hasList) return Runs.paragraphOf(c).map(_.cleanText).getOrElse("")
+    val parts = Vector.newBuilder[String]
+    Runs.paragraphOf(c, stopAtNestedLists = true)
+      .foreach(p => parts += p.cleanText)
+    c.children.foreach {
+      case e: Elem if e.tag == "ul" || e.tag == "ol" =>
+        listParagraphs(e, 0).foreach { p =>
+          parts += (if (p.hints.isBullet)
+            ("  " * math.max(0, p.hints.bulletLevel)) + "• " + p.cleanText
+          else p.cleanText)
+        }
+      case _ => ()
+    }
+    parts.result().filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** X14 chart parse: `<figure data-chart="TYPE">` with optional
+    * `<figcaption>` title and a data table whose header row carries the
+    * categories (first cell is the series-name column header) and whose
+    * body rows are one series each: name cell + value cells. */
+  def chartOf(fig: Elem, hyperlink: String): ChartBlock = {
+    val chartType = fig.attr("data-chart")
+    val title = fig.find("figcaption")
+      .flatMap(Runs.paragraphOf(_)).map(_.cleanText).getOrElse("")
+    val data = fig.find("table").map(tableData).getOrElse(Vector.empty)
+    val categories = data.headOption.map(_.drop(1)).getOrElse(Vector.empty)
+    val series = data.drop(1).collect {
+      case row if row.nonEmpty => ChartSeries(row.head, row.tail)
+    }
+    ChartBlock("other", chartType, title, categories, series, hyperlink)
+  }
+
+  /** An <a> whose content is a single `<figure data-chart>` (and whitespace)
+    * renders as a hyperlink-wrapped chart (markdown_converter.py:323-325). */
+  private def linkWrappedChart(a: Elem): Option[Elem] = {
+    val significant = a.children.filter {
+      case t: TextNode => t.value.exists(!_.isWhitespace)
+      case _           => true
+    }.toVector
+    significant match {
+      case Seq(fig: Elem) if fig.tag == "figure" &&
+        fig.attr("data-chart").nonEmpty => Some(fig)
+      case _ => None
+    }
   }
 }

@@ -55,15 +55,42 @@ object Extractor {
       else Vector(PageBlocks(1, BlockWalker.walk(contentRoot)))
 
     val meta = meta0.copy(pageCount = pages.size)
-    val (extractedText, spans) = assemble(pages)
-    if (extractedText.isEmpty) {
+    val (bodyText, bodySpans) = assemble(pages)
+    if (bodyText.isEmpty) {
       // R2 strategy fallback: rich parse produced nothing -> plain text column
       val fb = fallback(textFallback, null)
       return fb.copy(meta = meta)
     }
     val links = collectLinks(pages)
     val scores = StructureScore.allPages(pages)
-    ExtractResult(extractedText, spans, links, meta, scores, null)
+
+    // Final document assembly mirrors the reference's converted-output shape:
+    //  1. metadata comment PREPENDED (metadata_extractor.py:334-380, M2)
+    //  2. body markdown
+    //  3. hyperlinks section appended (file_converter.py:179-190, W2/D3)
+    //  4. diagram-analysis report appended with "\n\n"
+    //     (powerpoint_processor.py:237-239 + diagram_analyzer.py:104-117)
+    val sb = new StringBuilder
+    val spans = Vector.newBuilder[Span]
+    val metaComment = Fidelity.metadataComment(meta)
+    sb.append(metaComment)
+    spans += Span(0, metaComment.length, "meta_comment")
+    val off = metaComment.length
+    sb.append(bodyText)
+    bodySpans.foreach(s => spans += Span(s.start + off, s.end + off, s.kind))
+    val linkSection = Links.formatHyperlinksSection(links, "Document")
+    if (linkSection.nonEmpty) {
+      val st = sb.length
+      sb.append(linkSection)
+      spans += Span(st, sb.length, "links_section")
+    }
+    val diag = StructureScore.diagramSection(scores)
+    if (diag.nonEmpty) {
+      val st = sb.length
+      sb.append("\n\n").append(diag)
+      spans += Span(st, sb.length, "diagram_section")
+    }
+    ExtractResult(sb.toString, spans.result(), links, meta, scores, null)
   }
 
   /** Multi-page docs: <section class="page"> elements (shallowest wins);
@@ -121,6 +148,7 @@ object Extractor {
       else "paragraph"
     case _: TableBlock => "table"
     case _: ImageBlock => "image"
+    case _: ChartBlock => "chart"
   }
 
   /** Links relation: per-paragraph run merge by target in run order (W3,
@@ -146,6 +174,9 @@ object Extractor {
           }
         case i: ImageBlock if i.hyperlink.nonEmpty =>
           raw += LinkRow("", page.pageNumber, i.altText, i.hyperlink)
+        case c: ChartBlock if c.hyperlink.nonEmpty && c.title.nonEmpty =>
+          // chart click-action analog: the chart title is the anchor
+          raw += LinkRow("", page.pageNumber, c.title, c.hyperlink)
         case _ => ()
       }
     }
@@ -163,7 +194,7 @@ object Extractor {
     val metaScope = head.getOrElse(dom)
     (Iterator.single(metaScope) ++ metaScope.descendants).foreach { e =>
       if (e.tag == "meta") {
-        val name = e.attr("name").toLowerCase
+        val name = e.attr("name").toLowerCase(java.util.Locale.ROOT)
         val content = e.attr("content")
         name match {
           case "author"      => if (author.isEmpty) author = content

@@ -15,7 +15,7 @@ object Fidelity {
     * "title" but not "subtitle") > slide_number (name has "slide number") >
     * content (has text) > other. */
   def semanticRole(shapeName: String, textPreview: String): String = {
-    val n = Option(shapeName).getOrElse("").toLowerCase
+    val n = Option(shapeName).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     if (n.contains("title") && !n.contains("subtitle")) "title"
     else if (n.contains("slide number")) "slide_number"
     else if (textPreview != null && textPreview.trim.nonEmpty) "content"
@@ -51,7 +51,7 @@ object Fidelity {
 
   def isArrowShape(autoShapeType: String): Boolean = {
     if (autoShapeType == null || autoShapeType.isEmpty) return false
-    val s = autoShapeType.toUpperCase
+    val s = autoShapeType.toUpperCase(java.util.Locale.ROOT)
     arrowTypes.exists(s.contains)
   }
 
@@ -63,7 +63,7 @@ object Fidelity {
     "csv" -> 6, "json" -> 6, "xml" -> 6, "zip" -> 7)
 
   def processingPriority(kind: String): Int =
-    processingPriorities.getOrElse(Option(kind).getOrElse("").toLowerCase, 999)
+    processingPriorities.getOrElse(Option(kind).getOrElse("").toLowerCase(java.util.Locale.ROOT), 999)
 
   /** X5: bullet-level resolution precedence (text_processor.py:254-285):
     * xml-bullet+xml-level > xml-bullet+ppt-level > xml-bullet+0 >

@@ -28,6 +28,6 @@ object FileNames {
 
   def fileExtension(name: String): String = {
     val idx = name.lastIndexOf('.')
-    if (idx < 0 || idx == name.length - 1) "" else name.substring(idx + 1).toLowerCase
+    if (idx < 0 || idx == name.length - 1) "" else name.substring(idx + 1).toLowerCase(java.util.Locale.ROOT)
   }
 }

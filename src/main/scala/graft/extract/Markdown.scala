@@ -108,10 +108,34 @@ object Markdown {
     if (b.hyperlink.nonEmpty) s"[$img](${b.hyperlink})" else img
   }
 
+  /** Port of `_convert_chart_to_markdown` (markdown_converter.py:300-326):
+    * title/type header lines, "Data:" with first-5 values per named series
+    * and a bare "..." truncation suffix, the `<!-- DIAGRAM_CANDIDATE -->`
+    * marker, and the (quirky, multi-line) hyperlink wrap — all verbatim. */
+  def chartToMarkdown(b: ChartBlock): String = {
+    val sb = new StringBuilder
+    sb.append(s"**Chart: ${b.title}**\n")
+    sb.append(s"*Chart Type: ${b.chartType}*\n\n")
+    if (b.categories.nonEmpty && b.series.nonEmpty) {
+      sb.append("Data:\n")
+      b.series.foreach { s =>
+        if (s.name.nonEmpty) {
+          sb.append(s"- ${s.name}: ")
+          sb.append(s.values.take(5).mkString(", "))
+          if (s.values.length > 5) sb.append("...")
+          sb.append("\n")
+        }
+      }
+    }
+    sb.append(s"\n<!-- DIAGRAM_CANDIDATE: chart, type=${b.chartType} -->\n")
+    if (b.hyperlink.nonEmpty) s"[${sb.toString}](${b.hyperlink})" else sb.toString
+  }
+
   def blockToMarkdown(b: Block): String = b match {
     case t: TextBlock  => textBlockToMarkdown(t)
     case t: TableBlock => tableToMarkdown(t)
     case i: ImageBlock => imageToMarkdown(i)
+    case c: ChartBlock => chartToMarkdown(c)
   }
 
   /** Port of `_has_meaningful_alt_text` (content_extractor.py:158-213):
@@ -128,7 +152,7 @@ object Markdown {
     if (altText == null) return false
     val t = altText.trim
     if (t.isEmpty) return false
-    val lower = t.toLowerCase
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
     if (meaninglessPatterns.exists(p => p.pattern.matcher(lower).matches())) return false
     if (t.length < 3) return false
     if (genericWords.contains(lower)) return false

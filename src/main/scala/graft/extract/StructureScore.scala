@@ -30,6 +30,7 @@ object StructureScore {
       case _: TextBlock  => "text"
       case _: TableBlock => "table"
       case _: ImageBlock => "image"
+      case _: ChartBlock => "chart"
     }.distinct
     if (kinds.size >= 3) { score += 15; reasons += "high block variety" }
     else if (kinds.size >= 2) { score += 10; reasons += "moderate block variety" }
@@ -51,7 +52,7 @@ object StructureScore {
     // A6: flow vocabulary over concatenated lowercase text
     val allText = {
       val sb = new StringBuilder
-      textBlocks.foreach(_.paragraphs.foreach(p => sb.append(' ').append(p.cleanText.toLowerCase)))
+      textBlocks.foreach(_.paragraphs.foreach(p => sb.append(' ').append(p.cleanText.toLowerCase(java.util.Locale.ROOT))))
       sb.toString
     }
     val flowMatches = flowKeywords.count(allText.contains)
@@ -99,4 +100,22 @@ object StructureScore {
   /** Pages worth reporting: probability >= 40 (diagram_analyzer.py:80,93). */
   def reportablePages(pages: Seq[PageBlocks]): Vector[PageScore] =
     allPages(pages).filter(_.probability >= 40)
+
+  /** Diagram-analysis report rendered into the output document
+    * (diagram_analyzer.py:104-117: probability/score/reasons per reported
+    * page plus component counts and the analysis-method line). Returns ""
+    * when no page reaches the 40% report threshold. */
+  def diagramSection(scores: Seq[PageScore]): String = {
+    val reportable = scores.filter(_.probability >= 40)
+    if (reportable.isEmpty) return ""
+    val sb = new StringBuilder("## DIAGRAM ANALYSIS\n\n")
+    sb.append("**Pages with potential diagrams:**\n\n")
+    reportable.foreach { s =>
+      sb.append(s"- **Page ${s.page}**: ${s.probability}% probability ")
+      sb.append(s"(Score: ${s.totalScore}) - ${s.reasons.mkString(", ")}\n")
+      sb.append(s"  - Blocks: ${s.blockCount}, Bullets: ${s.bulletCount}\n")
+      sb.append("  - Analysis method: structured_data_analysis\n\n")
+    }
+    sb.toString
+  }
 }

@@ -19,7 +19,7 @@ object UrlFix {
     if (url == null || url.isEmpty) return url
     if (url.contains("@") && !url.startsWith("mailto:")) return "mailto:" + url
     if (!schemes.exists(url.startsWith)) {
-      val lower = url.toLowerCase
+      val lower = url.toLowerCase(java.util.Locale.ROOT)
       if (url.startsWith("www.") || tldish.exists(lower.contains))
         return "https://" + url
     }

@@ -110,7 +110,7 @@ object HtmlParser {
           val end = html.indexOf('>', i)
           if (end < 0) { i = n }
           else {
-            val name = html.substring(i + 2, end).trim.toLowerCase
+            val name = html.substring(i + 2, end).trim.toLowerCase(java.util.Locale.ROOT)
             // pop to the matching open element if present; else ignore stray close
             var j = stack.length - 1
             var found = -1
@@ -124,7 +124,7 @@ object HtmlParser {
           var j = i + 1
           while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-' ||
             html.charAt(j) == ':')) j += 1
-          val tag = html.substring(i + 1, j).toLowerCase
+          val tag = html.substring(i + 1, j).toLowerCase(java.util.Locale.ROOT)
           // parse attributes up to '>' (respecting quotes); most elements
           // carry none — avoid builder allocation for that case
           var attrs: Map[String, String] = null
@@ -144,7 +144,7 @@ object HtmlParser {
                 val ns = k
                 while (k < n && !html.charAt(k).isWhitespace &&
                   html.charAt(k) != '=' && html.charAt(k) != '>' && html.charAt(k) != '/') k += 1
-                val aname = html.substring(ns, k).toLowerCase
+                val aname = html.substring(ns, k).toLowerCase(java.util.Locale.ROOT)
                 while (k < n && html.charAt(k).isWhitespace) k += 1
                 var avalue = ""
                 if (k < n && html.charAt(k) == '=') {

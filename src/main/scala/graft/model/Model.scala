@@ -69,6 +69,18 @@ final case class TextBlock(role: String, paragraphs: Vector[Paragraph]) extends 
 final case class TableBlock(role: String, data: Vector[Vector[String]]) extends Block
 final case class ImageBlock(role: String, altText: String, hyperlink: String) extends Block
 
+/** One chart data series (content_extractor.py:395-404 `{name, values}`);
+  * values kept verbatim as strings — the HTML source carries the literal
+  * rendering, so no float re-format divergence can occur. */
+final case class ChartSeries(name: String, values: Vector[String])
+
+/** X14 chart block (content_extractor.py:368-421): chart type + title +
+  * categories + series. HTML analog: `<figure data-chart="...">` with a
+  * figcaption title and a data table (first row = categories header). */
+final case class ChartBlock(role: String, chartType: String, title: String,
+    categories: Vector[String], series: Vector[ChartSeries],
+    hyperlink: String) extends Block
+
 final case class PageBlocks(pageNumber: Int, blocks: Vector[Block])
 
 /** Hyperlink relation row (hyperlink_extractor.py:61-65 analog). */

@@ -73,7 +73,7 @@ object Synth {
       sb.toString
     }
     def cap(s: String): String =
-      if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1)
+      if (s.isEmpty) s else s.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + s.substring(1)
 
     val variant = (docId % 10).toInt
     val nPages = if (variant == 7) 3 else 1
@@ -148,11 +148,13 @@ object Synth {
         html.append(s"<p>• ${esc(take(4, off + 3))}</p>\n") // literal bullet char -> stripped
       }
 
-      // table with a pipe char in a cell
+      // table with a pipe char in a cell + a cell containing a nested list
+      // (X12 cell bulletization: "  "*lvl + "• " prep)
       if (variant % 4 == 1) {
         html.append("<table><tr><th>Key</th><th>Value</th></tr>")
         html.append(s"<tr><td>${esc(take(1, off))}</td><td>${esc(take(2, off + 1))}|x</td></tr>")
-        html.append(s"<tr><td>${esc(take(1, off + 2))}</td><td>${esc(take(2, off + 3))}</td></tr></table>\n")
+        html.append(s"<tr><td>${esc(take(1, off + 2))}</td><td><ul><li>${esc(take(2, off + 3))}</li>" +
+          s"<li>${esc(take(1, off + 4))}<ul><li>${esc(take(2, off + 5))}</li></ul></li></ul></td></tr></table>\n")
       }
 
       // images: meaningful vs generic alt
@@ -161,10 +163,15 @@ object Synth {
         html.append("""<img src="b.png" alt="image1.png">""") // filtered (P4)
       }
 
-      // entities + all-caps short heading for some docs
+      // entities + all-caps short heading for some docs; plus a hyperlink-
+      // wrapped chart (X14 markdown hyperlink-wrap quirk path)
       if (variant == 6) {
-        html.append(s"<h3>${esc(take(2, off).toUpperCase)}</h3>\n")
+        html.append(s"<h3>${esc(take(2, off).toUpperCase(java.util.Locale.ROOT))}</h3>\n")
         html.append(s"<p>${esc(take(3, off + 5))} &amp; ${esc(take(2, off + 6))} &mdash; ${esc(take(2, off + 7))}</p>\n")
+        html.append(s"""<a href="https://charts.example.org/c/${docId % 40}">""" +
+          s"""<figure data-chart="line"><figcaption>${esc(cap(take(2, off + 4)))} trend</figcaption>""" +
+          "<table><tr><th>s</th><th>x</th><th>y</th></tr>" +
+          "<tr><td>gamma</td><td>10</td><td>20</td></tr></table></figure></a>\n")
       }
 
       // malformed fragment (unclosed tags, stray close) — must not throw
@@ -179,6 +186,12 @@ object Synth {
           "<li>Create record</li><li>Update index</li><li>Check result</li><li>End</li></ul>\n")
         html.append("<table><tr><th>Step</th><th>Next</th></tr>" +
           "<tr><td>begin</td><td>verify</td></tr></table>\n")
+        // chart block (X14): 6 values on the first series exercises the
+        // first-5 + "..." truncation; 3 on the second does not
+        html.append(s"""<figure data-chart="bar"><figcaption>${esc(cap(take(2, off)))} throughput</figcaption>""" +
+          "<table><tr><th>series</th><th>c1</th><th>c2</th><th>c3</th><th>c4</th><th>c5</th><th>c6</th></tr>" +
+          "<tr><td>alpha</td><td>1</td><td>2</td><td>3</td><td>4</td><td>5</td><td>6</td></tr>" +
+          "<tr><td>beta</td><td>9</td><td>8</td><td>7</td></tr></table></figure>\n")
         plain.append("Start Process input Decision point End\n")
       }
 

@@ -290,7 +290,8 @@ class KernelSpec extends AnyFunSuite {
     assert(r.error == null)
     assert(r.extractedText.length > 1000000)
     assert(r.links.size == 20000)
-    assert(r.spans.size == 20001) // marker + one span per paragraph
+    // meta_comment + marker + one span per paragraph + links_section
+    assert(r.spans.size == 20003)
     assert(sec < 30, s"2.5MB doc took ${sec}s — superlinear blowup?")
   }
 
@@ -299,5 +300,111 @@ class KernelSpec extends AnyFunSuite {
     val a = Extractor.extract(html, "")
     val b = Extractor.extract(html, "")
     assert(a == b)
+  }
+
+  // ---- X14 chart block: content_extractor.py:368-421 + markdown_converter.py:300-326
+  test("chart block parses figure[data-chart] and renders the reference markdown") {
+    val html = """<body><main><figure data-chart="bar">
+      <figcaption>Quarterly throughput</figcaption>
+      <table><tr><th>series</th><th>q1</th><th>q2</th><th>q3</th><th>q4</th><th>q5</th><th>q6</th></tr>
+      <tr><td>ingest</td><td>1.5</td><td>2</td><td>3</td><td>4</td><td>5</td><td>6</td></tr>
+      <tr><td>emit</td><td>9</td><td>8</td><td>7</td></tr></table></figure></main></body>"""
+    val blocks = BlockWalker.walk(HtmlParser.parse(html).find("main").get)
+    assert(blocks.size == 1)
+    val c = blocks.head.asInstanceOf[ChartBlock]
+    assert(c.chartType == "bar")
+    assert(c.title == "Quarterly throughput")
+    assert(c.categories == Vector("q1", "q2", "q3", "q4", "q5", "q6"))
+    assert(c.series.map(_.name) == Vector("ingest", "emit"))
+    val md = Markdown.chartToMarkdown(c)
+    // exact reference shape: header lines, Data: entries with first-5 + "...",
+    // and the DIAGRAM_CANDIDATE marker (markdown_converter.py:302-321)
+    assert(md ==
+      "**Chart: Quarterly throughput**\n" +
+      "*Chart Type: bar*\n\n" +
+      "Data:\n" +
+      "- ingest: 1.5, 2, 3, 4, 5...\n" +
+      "- emit: 9, 8, 7\n" +
+      "\n<!-- DIAGRAM_CANDIDATE: chart, type=bar -->\n")
+  }
+
+  test("chart markdown: empty title verbatim, no-data chart, empty series name skipped, hyperlink wrap") {
+    val noData = ChartBlock("other", "unknown", "Empty chart", Vector.empty, Vector.empty, "")
+    assert(Markdown.chartToMarkdown(noData) ==
+      "**Chart: Empty chart**\n*Chart Type: unknown*\n\n\n<!-- DIAGRAM_CANDIDATE: chart, type=unknown -->\n")
+    val anon = ChartBlock("other", "line", "", Vector("x"),
+      Vector(ChartSeries("", Vector("5")), ChartSeries("named", Vector("7"))), "")
+    val md = Markdown.chartToMarkdown(anon)
+    assert(md.startsWith("**Chart: **\n")) // empty title rendered verbatim (ref quirk)
+    assert(!md.contains("- : "))            // unnamed series skipped (ref :307)
+    assert(md.contains("- named: 7\n"))
+    val linked = ChartBlock("other", "area", "L", Vector("a"),
+      Vector(ChartSeries("s", Vector("1"))), "https://x.example.com")
+    val lmd = Markdown.chartToMarkdown(linked)
+    assert(lmd.startsWith("[**Chart: L**") && lmd.endsWith("](https://x.example.com)"))
+  }
+
+  // ---- X12 cell bulletization: content_extractor.py:344-360
+  test("table cell with nested list bulletizes items with indent + bullet char") {
+    val html = """<body><table><tr><th>k</th><th>v</th></tr>
+      <tr><td>key</td><td>lead <ul><li>alpha x</li><li>beta y<ul><li>gamma z</li></ul></li></ul></td></tr>
+      </table></body>"""
+    val blocks = BlockWalker.walk(HtmlParser.parse(html).find("body").get)
+    val t = blocks.collect { case b: TableBlock => b }.head
+    assert(t.data(1) == Vector("key", "lead \u2022 alpha x \u2022 beta y   \u2022 gamma z"))
+  }
+
+  // ---- section dedup inside the RENDERED section
+  // (tests/test_hyperlink_extractor.py:94-116 shape; the reference CODE keeps
+  // the longer text only when it CONTAINS the old one — ported verbatim)
+  test("rendered hyperlinks section keeps longest-containing anchor per url") {
+    val links = Seq(
+      LinkRow("", 1, "Short Text", "https://example.com"),
+      LinkRow("", 1, "Short Text plus more detail", "https://example.com"),
+      LinkRow("", 1, "Longer but unrelated description", "https://example.com"),
+      LinkRow("", 2, "Page 2 Link", "https://example.com"))
+    val out = Links.formatHyperlinksSection(links)
+    assert(out.contains("* [Short Text plus more detail](https://example.com)"))
+    assert(!out.contains("* [Short Text](https://example.com)"))
+    assert(!out.contains("Longer but unrelated")) // no containment -> not better
+    assert(out.contains("### Page 2"))
+    assert(out.contains("* [Page 2 Link](https://example.com)"))
+  }
+
+  test("rendered hyperlinks section replaces placeholder anchors and skips invalid rows") {
+    val links = Seq(
+      LinkRow("", 3, "Link on page 3", "https://ph.example.com"),
+      LinkRow("", 3, "Real anchor", "https://ph.example.com"),
+      LinkRow("", 1, "", "https://empty-text.com"),
+      LinkRow("", 1, "No URL", ""),
+      LinkRow("", 0, "No Page", "https://no-page.com"))
+    val out = Links.formatHyperlinksSection(links)
+    assert(out.contains("* [Real anchor](https://ph.example.com)"))
+    assert(!out.contains("Link on page 3]"))
+    assert(!out.contains("empty-text.com") && !out.contains("No URL") && !out.contains("no-page.com"))
+  }
+
+  // ---- M2 + hyperlinks section + diagram report wired into the HTML output
+  test("HTML output carries metadata comment, hyperlinks section and diagram report") {
+    val html = ("""<html lang="en"><head><title>T1</title>""" +
+      """<meta name="author" content="A. Author"></head><body><main>""" +
+      """<h1>Start</h1><ul><li>Begin</li><li>Process step</li><li>Decision</li><li>End</li></ul>""" +
+      """<table><tr><th>a</th><th>b</th></tr></table>""" +
+      """<p>See <a href="https://x.example.com/d">the decision doc</a>.</p>""" +
+      """</main></body></html>""").getBytes("UTF-8")
+    val r = Extractor.extract(html, "")
+    assert(r.error == null)
+    assert(r.extractedText.startsWith("\n<!-- DOCUMENT METADATA:\nTitle: T1\nAuthor: A. Author\n"))
+    assert(r.extractedText.contains("\n\n## Hyperlinks in Document\n\n### Page 1\n* [the decision doc](https://x.example.com/d)\n"))
+    assert(r.extractedText.contains("## DIAGRAM ANALYSIS\n\n**Pages with potential diagrams:**\n"))
+    assert(r.extractedText.contains("- Analysis method: structured_data_analysis"))
+    // span bookkeeping: meta_comment first at offset 0, sections at the end,
+    // body spans shifted — all non-overlapping and sorted
+    val spans = r.spans
+    assert(spans.head.kind == "meta_comment" && spans.head.start == 0)
+    assert(spans.map(_.kind).count(_ == "links_section") == 1)
+    assert(spans.map(_.kind).count(_ == "diagram_section") == 1)
+    assert(spans.sliding(2).forall { case Seq(a, b) => a.end <= b.start; case _ => true })
+    assert(spans.forall(s => s.start >= 0 && s.end <= r.extractedText.length))
   }
 }

@@ -134,8 +134,12 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("url").endsWith("/doc-7")) // 3-page doc, plain anchors
       .select("page", "anchor", "target").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    // the appended "## Hyperlinks in Document" section re-lists body links
+    // (the reference's app_v5 rescan sees them too); compare body-only here
     val twoPass = graft.ops.TwoPass.linksFromMarkdown(
-        extracted.filter(col("url").endsWith("/doc-7")))
+        extracted.filter(col("url").endsWith("/doc-7"))
+          .withColumn("extracted_text",
+            substring_index(col("extracted_text"), "\n\n## Hyperlinks in Document", 1)))
       .select("page", "anchor", "target").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
     assert(kernelLinks.nonEmpty)
@@ -175,6 +179,26 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed.subsetOf(batch),
       s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
+  }
+
+  test("sessionize updateState min-merges an out-of-order event within the watermark") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{Ev, SessionState}
+    def ev(sec: Long) = Ev(7L, new java.sql.Timestamp(sec * 1000L))
+    // stored session: [2000s, 2500s], 2 events; a late event at 1800s arrives
+    // in a later micro-batch (within the 30-min gap of end_us)
+    val state = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(
+        SessionState(2000L * 1000000L, 2500L * 1000000L, 2)),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(1000L * 1000L), false)
+    val out = Sessionize.updateState(7L, Iterator(ev(1800L)), state).toVector
+    assert(out.isEmpty) // session extends, nothing closes
+    val s = state.get
+    assert(s.start_us == 1800L * 1000000L, "late event must lower session start")
+    assert(s.end_us == 2500L * 1000000L)
+    assert(s.n == 3)
   }
 
   test("pages round-trip through csv/json sources; links csv sink (S10)") {
