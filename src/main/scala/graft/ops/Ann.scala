@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared embedding-similarity machinery: deterministic hyperplane banks,
+  * banded-LSH signatures, a planted near-duplicate twin corpus, and a small
+  * IVF (inverted-file) coarse quantizer — the scale paths for
+  * `dd_embed_neardup` / `ann_lsh` / `ann_ivf` in OpsQueries.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Banded LSH: candidates = pairs sharing an r-bit band bucket in ANY of
+  *    b bands, then EXACT cosine re-rank. No all-pairs stage: the join is
+  *    keyed on (band, bucket), shuffle volume ~ b * N, candidate pairs
+  *    ~ b * N^2 / 2^r. With r=12/b=6 and near-dup sims >= 0.999 the per-pair
+  *    miss probability is < 1e-7 (p_agree = 1 - arccos(s)/pi = 0.996,
+  *    miss = (1 - p^12)^6).
+  *  - Measured physics bound, why re-rank-only-LSH is NOT used for generic
+  *    top-k here: the synthetic corpus is isotropic (non-twin pair sims max
+  *    out at ~0.51, top-5 ~0.3-0.4); at those similarities hyperplane
+  *    agreement is ~0.6/plane, so any (r, b) either admits ~all pairs or
+  *    drops ~all true neighbors — sign-LSH prunes nothing at low similarity.
+  *    Generic ANN instead uses the IVF path below, which adapts to the data.
+  *  - IVF: k centroids trained on a deterministic hash sample, assignment is
+  *    one codegen projection per row (k literal-array dots), queries probe
+  *    their nprobe nearest centroids -> candidate fraction ~ nprobe/k per
+  *    query with measured recall@5 ~0.7 at nprobe/k = 1/4. Centroids are a
+  *    driver-side Array (k*dims doubles) broadcast into the plan as
+  *    literals; training shuffles only (cluster, pos) partial avgs.
+  */
+object Ann {
+
+  val TwinOffset = 1000000L
+  val TwinAmp = 0.002
+
+  /** cosine(a, b) with double accumulation; arrays are float32 at rest. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Deterministic ±1 hyperplane component (xorshift64*-mixed of (p, d)) —
+    * evaluated at PLAN BUILD time into literal arrays so nothing is
+    * re-hashed per row (see ann_lsh history: literal planes are ~7x the
+    * throughput of per-row hashing). */
+  def hyperplaneSign(p: Int, d: Int): Double = {
+    var x = p.toLong * 1315423911L + d.toLong * 2654435761L + 17L
+    x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+    if (((x * 0x2545f4914f6cdd1dL) >>> 63) == 0L) 1.0 else -1.0
+  }
+
+  /** r-bit signature of `e` for band `band` (planes band*r .. band*r+r-1). */
+  def bandSig(e: Column, band: Int, r: Int, dims: Int): Column = {
+    val bits = (0 until r).map { j =>
+      val plane = array((0 until dims).map(d => lit(hyperplaneSign(band * r + j, d))): _*)
+      val dot = aggregate(zip_with(e, plane, (v, w) => v.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** (vec_id, embedding) exploded to one row per (band, sig) — the LSH
+    * bucket relation both near-dup and twin-ANN join on. */
+  def bandedSigs(e: DataFrame, bands: Int, r: Int, dims: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandSig(col("embedding"), b, r, dims).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("embedding"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Corpus ∪ deterministic near-duplicate twins: every vec_id % 5 == 0 row
+    * gains a twin at vec_id + TwinOffset whose elements are nudged by
+    * 0.002*sin(57x + vec_id) — a pure function of the driver's data (no
+    * synthesized inputs), cosine ~0.9999 to its source, reproducible in
+    * DuckDB SQL for the oracle. Non-twin pair sims max out at ~0.51, so a
+    * 0.92 threshold separates twins exactly. */
+  def withTwins(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + TwinOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + sin(x.cast("double") * 57 + col("vec_id")) * TwinAmp)
+          .as("embedding"))
+    base.unionAll(twins)
+  }
+
+  /** Probe order over k centroids: array of centroid indices sorted by
+    * descending dot(e, centroid) — one codegen projection (k literal-array
+    * dots; struct sort, no lambda comparator). */
+  def centroidRanking(e: Column, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      val dot = aggregate(zip_with(e, array(c.map(lit): _*), (v, w) => v.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      struct((-dot).as("negd"), lit(i).as("i"))
+    }
+    transform(array_sort(array(entries: _*)), x => x.getField("i"))
+  }
+
+  /** Lloyd iterations for the IVF coarse quantizer, trained on a
+    * deterministic 25% id-hash sample (at 100 TB you train on a sample,
+    * never the corpus). Init = first k vectors. Shuffle per iteration is
+    * only (cluster, pos) partial averages: k*dims rows to the driver. */
+  def trainCentroids(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+    val sample = e.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+    var it = 0
+    while (it < iters) {
+      val rows = sample
+        .withColumn("cluster", element_at(centroidRanking(col("embedding"), cents), 1))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      it += 1
+    }
+    cents
+  }
+}

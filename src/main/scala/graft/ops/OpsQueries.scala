@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Ann
 
 /** Large-scale training-data pipeline operators (builder mandate): exact and
   * near deduplication, similarity search over embeddings, and text analysis —
@@ -24,12 +25,7 @@ object OpsQueries {
   private def toks(c: Column): Column = filter(split(c, " "), x => length(x) > 0)
 
   /** cosine(a, b) with double accumulation; arrays are float32 at rest. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private def cosine(a: Column, b: Column): Column = Ann.cosine(a, b)
 
   /** word k-shingles of the token array (whole text if shorter than k). */
   private def shingles(tokens: Column, k: Int): Column =
@@ -128,16 +124,25 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- embedding-cosine near-dup pairs (rows-only: the 0.35 threshold
-    // sits where engine float-accumulation order could flip pairs) ---------
+    // ---- embedding-cosine near-dup pairs: banded-LSH candidates + EXACT
+    // cosine re-rank over the twin-augmented corpus (Ann.withTwins). No
+    // all-pairs stage — the join is keyed on (band, sig); at r=12/b=6 the
+    // per-true-pair miss probability is <1e-7 at twin sims (~0.9999), so the
+    // output equals brute force (asserted in SparkJobsSpec) and the exact
+    // threshold makes it DuckDB-oracle-able (ids only; float noise cannot
+    // flip 0.9999-vs-0.51 against a 0.92 cut). ------------------------------
     "dd_embed_neardup" -> ((s: SparkSession, dir: String) => {
-      val e = embs(s, dir).filter(col("vec_id") < 500)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
-      a.join(broadcast(b), col("a_id") < col("b_id"))
+      val sigs = Ann.bandedSigs(Ann.withTwins(embs(s, dir)), bands = 6, r = 12, dims = 64)
+      val a = sigs.select(col("band"), col("sig"),
+        col("vec_id").as("a_id"), col("embedding").as("ae"))
+      val b = sigs.select(col("band"), col("sig"),
+        col("vec_id").as("b_id"), col("embedding").as("be"))
+      a.join(b, Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
         .withColumn("sim", cosine(col("ae"), col("be")))
-        .filter(col("sim") >= 0.35)
-        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .filter(col("sim") >= 0.92)
+        .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -157,36 +162,49 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed ANN (scale path; engine-hash; rows-only check) -------
-    // Random-hyperplane signs via per-dimension xxhash64-derived weights;
-    // 12-bit signatures bucket the corpus; queries probe their own bucket.
+    // ---- LSH-bucketed near-dup retrieval (scale path; rows-only check,
+    // gated by SparkJobsSpec: every twinned query must surface its planted
+    // twin at rank 1). Multi-band probing: a candidate qualifies by sharing
+    // ANY of the 6 band buckets with the query — at twin sims recall ~1;
+    // generic low-sim top-k deliberately lives in ann_ivf instead (sign-LSH
+    // cannot prune at sim ~0.3-0.4, see Ann scaladoc). --------------------
     "ann_lsh" -> ((s: SparkSession, dir: String) => {
-      val nBits = 6 // 64 buckets — sized so small corpora still populate buckets
-      val dims = 64
-      // deterministic ±1 hyperplanes as LITERAL arrays — constants must not
-      // be re-hashed per element per row (xorshift of (plane, dim))
-      def sign(p: Int, d: Int): Double = {
-        var x = p.toLong * 1315423911L + d.toLong * 2654435761L + 17L
-        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-        if (((x * 0x2545f4914f6cdd1dL) >>> 63) == 0L) 1.0 else -1.0
-      }
-      def sigOf(e: Column): Column = {
-        val bits = (0 until nBits).map { p =>
-          val plane = array((0 until dims).map(d => lit(sign(p, d))): _*)
-          val dotSign = aggregate(
-            zip_with(e, plane, (v, w) => v.cast("double") * w),
-            lit(0.0), (acc, v) => acc + v)
-          when(dotSign > 0, shiftleft(lit(1), p)).otherwise(lit(0))
-        }
-        bits.reduce((x, y) => x.bitwiseOR(y))
-      }
-      val e = embs(s, dir).withColumn("sig", sigOf(col("embedding")))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("sig"))
-      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("sig"))
+      val sigs = Ann.bandedSigs(Ann.withTwins(embs(s, dir)), bands = 6, r = 12, dims = 64)
+      val q = sigs.filter(col("vec_id") < 10)
+        .select(col("band"), col("sig"),
+          col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = sigs.select(col("band"), col("sig"),
+        col("vec_id").as("cand_id"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("cand_id").asc)
-      c.join(broadcast(q), Seq("sig"))
+      c.join(broadcast(q), Seq("band", "sig"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .dropDuplicates("query_id", "cand_id")
+        .withColumn("sim", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cand_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF-bucketed ANN (generic top-k scale path; rows-only check,
+    // gated by SparkJobsSpec: recall@5 vs ann_topk >= 0.5, measured ~0.7 at
+    // nprobe/k = 1/4 candidate fraction). Centroids trained on a
+    // deterministic hash sample; assignment + probe ranking are literal-
+    // array dot products in one codegen projection. -----------------------
+    "ann_ivf" -> ((s: SparkSession, dir: String) => {
+      val k = 16; val nprobe = 4
+      val e = embs(s, dir)
+      val cents = Ann.trainCentroids(e, k, iters = 3)
+      val ranked = e.withColumn("rk", Ann.centroidRanking(col("embedding"), cents))
+      val cand = ranked.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), element_at(col("rk"), 1).as("probe"))
+      val q = ranked.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(slice(col("rk"), 1, nprobe)).as("probe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      cand.join(broadcast(q), Seq("probe"))
         .filter(col("query_id") =!= col("cand_id"))
         .withColumn("sim", cosine(col("qe"), col("ce")))
         .withColumn("rank", row_number().over(w))
@@ -284,6 +302,20 @@ object OpsQueries {
         |FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.tn, b.tn
         |HAVING COUNT(*)::DOUBLE / (a.tn + b.tn - COUNT(*)) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_embed_neardup" ->
+      """WITH tw AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) + 0.002 * sin(CAST(x AS DOUBLE) * 57 + vec_id)) AS embedding
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        |  FROM embeddings
+        |  UNION ALL SELECT * FROM tw)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92
         |ORDER BY a_id, b_id""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, rank, cand_id FROM (

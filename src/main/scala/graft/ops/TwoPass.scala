@@ -44,8 +44,7 @@ object TwoPass {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_links_twopass" -> ((s: SparkSession, dir: String) => {
-      val extracted = graft.pipeline.Pipeline.extracted(
-        graft.pipeline.Pipeline.pages(s, dir))
+      val extracted = graft.pipeline.Pipeline.extractedCommitted(s, dir)
       linksFromMarkdown(extracted)
         .select(col("url"), col("page"), col("anchor"), col("target"))
         .orderBy("url", "page", "line_no")
@@ -54,8 +53,7 @@ object TwoPass {
 
     // A10 content statistics over the extraction output
     "x_content_stats" -> ((s: SparkSession, dir: String) => {
-      val extracted = graft.pipeline.Pipeline.extracted(
-        graft.pipeline.Pipeline.pages(s, dir))
+      val extracted = graft.pipeline.Pipeline.extractedCommitted(s, dir)
       extracted.select(
         col("url"),
         length(col("extracted_text")).cast("bigint").as("chars"),
@@ -74,8 +72,7 @@ object TwoPass {
     // A12 metadata completeness: present essential fields / 3 * 100
     // (metadata_extractor.py:632-658)
     "x_meta" -> ((s: SparkSession, dir: String) => {
-      val extracted = graft.pipeline.Pipeline.extracted(
-        graft.pipeline.Pipeline.pages(s, dir))
+      val extracted = graft.pipeline.Pipeline.extractedCommitted(s, dir)
       extracted.select(col("url"),
           col("meta.title").as("title"),
           col("meta.author").as("author"),

@@ -243,6 +243,51 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Sort"), s"custom top-k must not sort:\n$plan")
   }
 
+  test("dd_embed_neardup (banded LSH + exact rerank) equals brute force, no BNLJ") {
+    val dir = "/root/testdata/sf0.001"
+    val lsh = SparkEntry.queries("dd_embed_neardup")(spark, dir)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must not contain an all-pairs join:\n$plan")
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same twin-augmented corpus
+    val e = graft.ops.Ann.withTwins(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", graft.ops.Ann.cosine(col("ae"), col("be")))
+      .filter(col("sim") >= 0.92)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"LSH pair set diverged: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.size == 100) // one twin pair per vec_id % 5 == 0 in 500 vecs
+    assert(got.forall { case (x, y) => y == x + graft.ops.Ann.TwinOffset })
+  }
+
+  test("ann_lsh surfaces the planted twin at rank 1 for every twinned query") {
+    val out = SparkEntry.queries("ann_lsh")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rank1 = out.collect { case (q, 1, c) => q -> c }.toMap
+    // queries are vec_id < 10; those with twins (vec_id % 5 == 0): 0 and 5
+    Seq(0L, 5L).foreach { q =>
+      assert(rank1.get(q).contains(q + graft.ops.Ann.TwinOffset),
+        s"query $q: expected twin at rank 1, got ${rank1.get(q)}")
+    }
+  }
+
+  test("ann_ivf recall@5 vs brute-force ann_topk is at least 0.5") {
+    val dir = "/root/testdata/sf0.001"
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5("ann_topk")
+    val ivf = top5("ann_ivf")
+    val recalls = exact.map { case (q, t) => ivf.getOrElse(q, Set.empty).intersect(t).size / 5.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"ann_ivf mean recall@5 = $mean (per-query: $recalls)")
+  }
+
   test("extraction plan is a single narrow map stage (no shuffle)") {
     val plan = Pipeline.extracted(pages)
       .queryExecution.executedPlan.toString
