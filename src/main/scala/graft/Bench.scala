@@ -30,7 +30,16 @@ object Bench {
     * local[N] shares the host's 32 GC threads across every level and
     * skews low-core throughput upward). Each child warms its own JIT.
     * Returns (docs, seconds of the child's best timed pass). */
-  private def timeExtraction(cores: Int, sfDir: String, nTarget: Int): (Long, Double) = {
+  private def timeExtraction(cores: Int, sfDir: String, nTarget: Int): (Long, Double) =
+    runChild(cores, "graft.tools.ExtractBench",
+      Seq(cores.toString, sfDir, nTarget.toString))
+
+  /** Pure-kernel roofline probe (no Spark) — see KernelRoofline scaladoc. */
+  private def timeRoofline(cores: Int, seconds: Double): (Long, Double) =
+    runChild(cores, "graft.tools.KernelRoofline",
+      Seq(cores.toString, seconds.toString))
+
+  private def runChild(cores: Int, mainClass: String, args: Seq[String]): (Long, Double) = {
     val javaHome = sys.props("java.home")
     val cp = sys.props("java.class.path")
     val addOpens = Seq(
@@ -50,7 +59,7 @@ object Bench {
       // the host default locale either
       "-Duser.language=en", "-Duser.country=US",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "graft.tools.ExtractBench", cores.toString, sfDir, nTarget.toString)
+      mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD) // spark logs; avoid pipe deadlock
     val proc = pb.start()
@@ -98,6 +107,25 @@ object Bench {
     val ((docsT, secT), (docsTm, secTm), effA) = trials.sortBy(_._3)(Ordering.Double.TotalOrdering)(1)
     val effAll = trials.map(_._3)
 
+    // Pair-B roofline: the same N vs 4N levels running the PURE kernel in
+    // plain threads (no Spark at all). Whatever efficiency the hardware
+    // grants embarrassingly-parallel work here is the ceiling any engine
+    // can reach at 4N-on-one-socket; Spark's pair-B efficiency is judged
+    // against this, not against 1.0. Same methodology as pair A: adjacent
+    // N->4N trials, fixed 3, median — and measured BEFORE pair B so pair
+    // B's sustained all-core heat can't throttle the roofline sample.
+    val ratioB = cpus.toDouble / smallCores
+    val roofTrials = (0 until 3).map { t =>
+      cooldown()
+      val n = timeRoofline(smallCores, 10.0)
+      val n4 = timeRoofline(cpus, 10.0)
+      (n, n4, ((n4._1 / n4._2) / (n._1 / n._2)) / ratioB)
+    }
+    val ((rDocsS, rSecS), (rDocsB, rSecB), roofline) =
+      roofTrials.sortBy(_._3)(Ordering.Double.TotalOrdering)(1)
+    val rThrS = rDocsS / rSecS
+    val rThrB = rDocsB / rSecB
+
     // Pair B (same-socket stress): N=cpus/4 vs 4N=cpus cores on the full
     // corpus. The 4N level saturates the whole socket, so this additionally
     // absorbs shared-memory-bandwidth contention (and the self-induced host
@@ -140,7 +168,11 @@ object Bench {
       s""""docs":$docsTm,"sec_n":${d(secT)},"sec_4n":${d(secTm)},""" +
       s""""docs_per_sec_n":${d(docsT / secT)},"docs_per_sec_4n":${d(docsTm / secTm)},""" +
       s""""efficiency":${d(effA)},""" +
-      s""""efficiency_trials":${effAll.map(d).mkString("[", ",", "]")}}}"""
+      s""""efficiency_trials":${effAll.map(d).mkString("[", ",", "]")}},""" +
+      s""""roofline":{"cores_n":$smallCores,"cores_4n":$cpus,""" +
+      s""""docs_per_sec_n":${d(rThrS)},"docs_per_sec_4n":${d(rThrB)},""" +
+      s""""efficiency":${d(roofline)},""" +
+      s""""efficiency_trials":${roofTrials.map(t => d(t._3)).mkString("[", ",", "]")}}}"""
     println(s"""{"metric":"total","value":${d(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +
       s""""sf":"$sfDir","docs_per_sec":${d(thrB)},"scaling":$scaling}""")
@@ -170,8 +202,21 @@ object Bench {
     md.append(s"| A (cluster proxy) | local[$tinyCores] (N) | $docsT | ${d(secT)} | ${d(docsT / secT)} | |\n")
     md.append(s"| A (cluster proxy) | local[$smallCores] (4N) | $docsTm | ${d(secTm)} | ${d(docsTm / secTm)} | **${d(effA)}** |\n")
     md.append(s"| B (same-socket) | local[$smallCores] (N) | $docsS | ${d(secS)} | ${d(thrS)} | |\n")
-    md.append(s"| B (same-socket) | local[$cpus] (4N) | $docsB | ${d(secB)} | ${d(thrB)} | **${d(efficiency)}** |\n\n")
+    md.append(s"| B (same-socket) | local[$cpus] (4N) | $docsB | ${d(secB)} | ${d(thrB)} | **${d(efficiency)}** |\n")
+    md.append(s"| roofline (pure kernel, no Spark) | $smallCores threads (N) | $rDocsS | ${d(rSecS)} | ${d(rThrS)} | |\n")
+    md.append(s"| roofline (pure kernel, no Spark) | $cpus threads (4N) | $rDocsB | ${d(rSecB)} | ${d(rThrB)} | **${d(roofline)}** |\n\n")
     md.append("Efficiency = (thr_4N / thr_N) / 4. Target >= 0.8 (BASELINE.json).\n\n")
+    md.append("The roofline rows run the extraction kernel in PLAIN THREADS — no " +
+      "Spark, no shuffle, no shared engine state — at the same two core " +
+      "counts (median of 3 adjacent trials, measured before pair B so its " +
+      "sustained heat cannot throttle the sample; trial efficiencies: " +
+      roofTrials.map(t => d(t._3)).mkString(", ") + "). Whatever efficiency " +
+      "the hardware grants embarrassingly-parallel work there is the ceiling " +
+      "any engine can reach when 4N saturates one socket (shared L3/memory " +
+      "bandwidth + host throttling); pair B should be read against that " +
+      "ceiling, pair A against 1.0.\n\n")
+    md.append(f"Spark pair-B efficiency as a fraction of the hardware roofline: " +
+      f"${efficiency / math.max(roofline, 1e-9)}%.3f.\n\n")
     md.append(s"Reference baseline: ~0.03-0.07 docs/sec single-process " )
     md.append("(BASELINE.md); this engine at 4N: " +
       f"${thrB / 0.07}%.0fx the reference's best case.\n\n")

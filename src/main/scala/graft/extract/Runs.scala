@@ -64,7 +64,34 @@ object Runs {
     * per-run boundaries, so `concat(runs.text) == cleanText` holds (the X6
     * span-bookkeeping invariant). Leading/trailing whitespace is trimmed.
     */
+  /** Allocation fast path: collapse is the identity when every run is
+    * non-empty, all whitespace is single plain ' ' chars, and the sequence
+    * neither starts nor ends with whitespace. Most already-clean paragraphs
+    * hit this and skip the per-run StringBuilder pass entirely (the
+    * builders showed up as a top allocation site in kernel profiles). */
+  private def isNormalized(raw: Vector[(String, Flags)]): Boolean = {
+    var prevWs = true // a leading space must fail
+    var i = 0
+    while (i < raw.length) {
+      val s = raw(i)._1
+      if (s.isEmpty) return false // normalize drops empty runs
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (c == ' ') {
+          if (prevWs) return false
+          prevWs = true
+        } else if (Character.isWhitespace(c)) return false
+        else prevWs = false
+        j += 1
+      }
+      i += 1
+    }
+    !prevWs // no trailing whitespace
+  }
+
   private def normalize(raw: Vector[(String, Flags)]): Vector[(String, Flags)] = {
+    if (raw.nonEmpty && isNormalized(raw)) return raw
     val builders = raw.map(_ => new StringBuilder)
     var pendingSpaceRun = -1 // run index of the first ws char of the current ws stretch
     var emittedAny = false
@@ -100,6 +127,14 @@ object Runs {
   /** Merge adjacent runs with identical formatting (DOM `<b>a</b><b>b</b>`). */
   private def mergeAdjacent(runs: Vector[(String, Flags)]): Vector[(String, Flags)] = {
     if (runs.isEmpty) return runs
+    // fast path: nothing adjacent shares flags -> identity, no buffer
+    var i = 1
+    var needsMerge = false
+    while (i < runs.length && !needsMerge) {
+      if (runs(i)._2 == runs(i - 1)._2) needsMerge = true
+      i += 1
+    }
+    if (!needsMerge) return runs
     val out = new ArrayBuffer[(String, Flags)]()
     runs.foreach { case (t, f) =>
       if (out.nonEmpty && out.last._2 == f) {

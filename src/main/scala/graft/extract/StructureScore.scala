@@ -19,23 +19,91 @@ object StructureScore {
   private val actionWords =
     Array("create", "update", "check", "verify", "send", "receive", "analyze")
 
+  /** Char size of a block — the 1-D "area" analog used for positions and
+    * the size-consistency bonus. */
+  private def blockChars(b: Block): Int = b match {
+    case t: TextBlock  => t.paragraphs.iterator.map(_.cleanText.length).sum
+    case t: TableBlock => t.data.iterator.map(_.iterator.map(_.length).sum).sum
+    case i: ImageBlock => i.altText.length
+    case c: ChartBlock =>
+      c.title.length +
+        c.series.iterator.map(s => s.name.length + s.values.iterator.map(_.length).sum).sum
+  }
+
+  /** Rule-by-rule port of `score_slide_for_diagram`
+    * (diagram_analyzer.py:391-463), with the reference's exact reason-tag
+    * format (`layout:grid_layout`, `variety:15`, ...). Rules 1-2
+    * (block_arrows / connector_lines / line_ratio) have no DOM analog —
+    * flowed HTML carries no free-floating connector shapes (A2 partial,
+    * documented).
+    *
+    * Positional analog (A3/A7, SURVEY §1.3): flowed text is 1-D, so
+    * vertical position = char offset * 5715 EMU (an ~80-char line ≈ 457K
+    * EMU of slide height) and horizontal position = bullet indent level *
+    * 457200 EMU (a half-inch tab stop). The reference's EMU thresholds
+    * then apply VERBATIM: 100K rounding for alignment buckets, 1M ranges
+    * for spread, 500K left-variance for the single-column penalty. */
   def scorePage(page: PageBlocks): PageScore = {
     val blocks = page.blocks
     val textBlocks = blocks.collect { case t: TextBlock => t }
     val reasons = Vector.newBuilder[String]
     var score = 0
 
-    // A4 analog: block-type variety
-    val kinds = blocks.map {
-      case _: TextBlock  => "text"
-      case _: TableBlock => "table"
-      case _: ImageBlock => "image"
-      case _: ChartBlock => "chart"
-    }.distinct
-    if (kinds.size >= 3) { score += 15; reasons += "high block variety" }
-    else if (kinds.size >= 2) { score += 10; reasons += "moderate block variety" }
+    // positioned "elements" mirror the reference's shapes: every paragraph
+    // is one element (text boxes), non-text blocks are one element each
+    val elems: Vector[(Int, Long)] = blocks.flatMap {
+      case t: TextBlock =>
+        t.paragraphs.iterator.filter(_.cleanText.nonEmpty).map(p =>
+          (p.cleanText.length,
+            math.max(p.hints.bulletLevel, 0).toLong * 457200L)).toVector
+      case b =>
+        val c = blockChars(b)
+        if (c > 0) Vector((c, 0L)) else Vector.empty
+    }
+    val positions: Vector[(Long, Long)] = {
+      var off = 0L
+      elems.map { case (chars, left) =>
+        val top = off * 5715L
+        off += chars
+        (top, left)
+      }
+    }
 
-    // A5: text density — share of blocks whose avg words/para <= 5
+    // Rule 3 (A3): spatial layout (diagram_analyzer.py:515-548)
+    if (positions.size >= 3) {
+      val tops = positions.map(_._1)
+      val lefts = positions.map(_._2)
+      val uniqueTops = tops.map(t => math.round(t / 100000.0)).distinct.size
+      val uniqueLefts = lefts.map(l => math.round(l / 100000.0)).distinct.size
+      if (uniqueTops >= 2 && uniqueLefts >= 2) {
+        score += 15; reasons += "layout:grid_layout"
+      } else if (tops.max - tops.min > 1000000L && lefts.max - lefts.min > 1000000L) {
+        score += 10; reasons += "layout:spread_layout"
+      } // linear_layout scores 0 and (like the reference) gets no tag
+    }
+
+    // Rule 4 (A4): variety = kind diversity + size consistency (:550-582)
+    var varietyScore = 0
+    if (blocks.size >= 2) {
+      val kinds = blocks.map {
+        case _: TextBlock  => "text"
+        case _: TableBlock => "table"
+        case _: ImageBlock => "image"
+        case _: ChartBlock => "chart"
+      }.distinct
+      if (kinds.size >= 3) varietyScore += 15
+      else if (kinds.size >= 2) varietyScore += 10
+      val sizes = elems.map(_._1)
+      if (sizes.size >= 3) {
+        val avg = sizes.sum.toDouble / sizes.size
+        if (avg > 0 && sizes.iterator.map(s => math.abs(s - avg) / avg).max < 0.5)
+          varietyScore += 5 // consistent sizing: process-flow indicator
+      }
+    }
+    if (varietyScore > 0) { score += varietyScore; reasons += s"variety:$varietyScore" }
+
+    // Rule 5 (A5): text density — share of blocks whose avg words/para <= 5
+    var textScore = 0
     if (textBlocks.nonEmpty) {
       val shortCount = textBlocks.count { b =>
         val paras = b.paragraphs.filter(_.cleanText.nonEmpty)
@@ -45,23 +113,32 @@ object StructureScore {
         }
       }
       val ratio = shortCount.toDouble / textBlocks.size
-      if (ratio >= 0.7) { score += 10; reasons += "70%+ short text blocks" }
-      else if (ratio >= 0.5) { score += 5; reasons += "50%+ short text blocks" }
+      if (ratio >= 0.7) textScore = 10
+      else if (ratio >= 0.5) textScore = 5
     }
+    if (textScore > 0) { score += textScore; reasons += s"short_text:$textScore" }
 
-    // A6: flow vocabulary over concatenated lowercase text
+    // Rule 6 (A6): flow vocabulary over concatenated lowercase text
+    // (:624-651; the shapes-connected-by-lines +15 leg is part of the
+    // no-DOM-analog skip)
     val allText = {
       val sb = new StringBuilder
-      textBlocks.foreach(_.paragraphs.foreach(p => sb.append(' ').append(p.cleanText.toLowerCase(java.util.Locale.ROOT))))
+      textBlocks.foreach(_.paragraphs.foreach(p =>
+        sb.append(' ').append(p.cleanText.toLowerCase(java.util.Locale.ROOT))))
       sb.toString
     }
+    var flowScore = 0
     val flowMatches = flowKeywords.count(allText.contains)
     val actionMatches = actionWords.count(allText.contains)
-    if (flowMatches >= 2) { score += 20; reasons += "strong workflow vocabulary" }
-    else if (flowMatches >= 1) { score += 10; reasons += "workflow vocabulary" }
-    if (actionMatches >= 3) { score += 10; reasons += "action-heavy content" }
+    if (flowMatches >= 2) flowScore += 20
+    else if (flowMatches >= 1) flowScore += 10
+    if (actionMatches >= 3) flowScore += 10
+    if (flowScore > 0) { score += flowScore; reasons += s"flow_pattern:$flowScore" }
 
-    // A7: negative indicators
+    // Rule 7 (A7): negative indicators (:653-695), all three legs — long
+    // paragraphs, bullet-heavy content, and the single-column left-variance
+    // penalty via the positional analog
+    var negScore = 0
     var longTextCount = 0
     var bulletCount = 0
     var totalParas = 0
@@ -72,10 +149,13 @@ object StructureScore {
         if (p.hints.isBullet) bulletCount += 1
       }
     })
-    if (longTextCount >= 2) { score -= 15; reasons += "document-style long paragraphs" }
-    if (totalParas > 0 && bulletCount.toDouble / totalParas > 0.8) {
-      score -= 10; reasons += "bullet-heavy content"
+    if (longTextCount >= 2) negScore -= 15
+    if (totalParas > 0 && bulletCount.toDouble / totalParas > 0.8) negScore -= 10
+    if (positions.size >= 3) {
+      val lefts = positions.map(_._2)
+      if (lefts.max - lefts.min < 500000L) negScore -= 10 // single column
     }
+    if (negScore < 0) { score += negScore; reasons += s"negatives:$negScore" }
 
     // A8: probability bucketing (diagram_analyzer.py:697-706)
     val probability =

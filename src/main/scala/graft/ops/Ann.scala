@@ -103,6 +103,16 @@ object Ann {
     * deterministic 25% id-hash sample (at 100 TB you train on a sample,
     * never the corpus). Init = first k vectors. Shuffle per iteration is
     * only (cluster, pos) partial averages: k*dims rows to the driver. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Train-once-per-(app, corpus) memo: centroid training is a fixed
+    * driver-side cost (a few small jobs); repeated ann_ivf invocations in
+    * one session reuse the table. */
+  def trainCentroidsCached(e: DataFrame, cacheKey: String, k: Int,
+      iters: Int): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(cacheKey, _ => trainCentroids(e, k, iters))
+
   def trainCentroids(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()

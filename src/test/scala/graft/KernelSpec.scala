@@ -407,4 +407,26 @@ class KernelSpec extends AnyFunSuite {
     assert(spans.sliding(2).forall { case Seq(a, b) => a.end <= b.start; case _ => true })
     assert(spans.forall(s => s.start >= 0 && s.end <= r.extractedText.length))
   }
+
+  // ---- A3/A7 positional analog: grid bonus + single-column penalty
+  test("spatial layout analog: grid bonus for multi-level pages, single-column penalty for flat ones") {
+    def score(html: String) = {
+      val blocks = BlockWalker.walk(HtmlParser.parse(html).find("body").get)
+      StructureScore.scorePage(PageBlocks(1, blocks))
+    }
+    // deep nesting (levels 0/1/2 = 0/457K/914K EMU): unique lefts >= 2 ->
+    // grid_layout; left range 914400 >= 500K -> NO single-column penalty
+    val nested = score("""<body><h1>Flow</h1>
+      <ul><li>alpha beta</li><li>gamma delta<ul><li>eps zeta
+      <ul><li>eta theta</li></ul></li></ul></li></ul>
+      <p>plain closing paragraph here</p></body>""")
+    assert(nested.reasons.contains("layout:grid_layout"), nested.reasons)
+    assert(!nested.reasons.exists(_.startsWith("negatives")), nested.reasons)
+    // flat page, >= 3 sized blocks all at level 0: left variance 0 < 500K
+    // -> single-column -10, no layout tag
+    val flat = score("""<body><h1>Title words</h1><p>first paragraph text</p>
+      <p>second paragraph text</p><p>third paragraph text</p></body>""")
+    assert(!flat.reasons.exists(_.startsWith("layout:")), flat.reasons)
+    assert(flat.reasons.contains("negatives:-10"), flat.reasons)
+  }
 }
