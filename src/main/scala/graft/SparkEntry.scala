@@ -319,6 +319,90 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- O4 + P1: supported-format predicate and priority ordering over
+    // SNIFFED kinds (S4 magic bytes -> X20 kind -> S2 priority table ->
+    // orderBy). The oracle recomputes the kind algebraically from the
+    // Synth id rule (docId % 17 == 13 -> PDF payload) — a genuine
+    // byte-sniff cross-check, same pattern as the mm_* oracles. ----------
+    "q_priority_order" -> ((s: SparkSession, dir: String) => {
+      val prio = typedlit(graft.extract.Fidelity.processingPriorities)
+      Pipeline.pages(s, dir)
+        .select(
+          regexp_extract(col("url"), "doc-(\\d+)$", 1).cast("bigint").as("doc_id"),
+          when(substring(col("html"), 1, 5) ===
+            lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII)), "pdf")
+            .otherwise("html").as("kind"))
+        .filter(element_at(prio, col("kind")).isNotNull) // P1 supported filter
+        .withColumn("priority",
+          coalesce(element_at(prio, col("kind")), lit(999)).cast("int")) // O4 999 rule
+        .orderBy("priority", "doc_id")
+    }),
+
+    // ---- JSON scalar functions over the events props column ---------------
+    "q_json" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("bigint").as("k_sum"),
+          count(when(col("k") > 50, 1)).as("k_big"),
+          min(col("k")).cast("int").as("k_min"),
+          max(col("k")).cast("int").as("k_max"))
+        .orderBy("event_type")
+    }),
+
+    // ---- PIVOT: per-user event-type counts (relational reshape) -----------
+    "q_pivot" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // ---- CUBE aggregation ---------------------------------------------------
+    "q_cube" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // ---- window-function battery: lag/lead/ntile/rank family --------------
+    "q_window_battery" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1, -1L).over(w).cast("bigint").as("prev_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).cast("bigint").as("next_key"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"),
+          round(percent_rank().over(w), 4).as("prank"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // ---- array higher-order-function battery over tokenized documents -----
+    "q_arrayfuncs" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .withColumn("tok", filter(split(col("text"), " "), x => length(x) > 0))
+        .select(col("doc_id"),
+          array_join(slice(array_sort(col("tok")), 1, 3), "|").as("first3_sorted"),
+          size(array_distinct(col("tok"))).cast("int").as("n_distinct"),
+          array_contains(col("tok"), "spark").as("has_spark"),
+          aggregate(filter(col("tok"), x => length(x) >= 5), lit(0L),
+            (acc, x) => acc + 1L).cast("bigint").as("n_long"),
+          array_join(transform(slice(col("tok"), 1, 2), x => upper(x)), ",").as("up2"))
+        .orderBy("doc_id")
+    }),
+
     // ---- A9 folder statistics analog (counts + weighted time estimate) ----
     "q_folder_stats" -> ((s: SparkSession, dir: String) => {
       // reference estimator: 30s per pptx-like + 15s per other
@@ -471,6 +555,54 @@ object SparkEntry {
         |  CAST(MIN(ts_us) AS BIGINT) AS start_us,
         |  CAST(MAX(ts_us) AS BIGINT) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_priority_order" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 17 = 13 THEN 'pdf' ELSE 'html' END AS kind,
+        | CASE WHEN doc_id % 17 = 13 THEN 3 ELSE 5 END AS priority
+        |FROM documents ORDER BY priority, doc_id""".stripMargin,
+    "q_json" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        | COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 THEN 1 END) AS k_big,
+        | CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
+        | CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        | COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_window_battery" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(COALESCE(LAG(o_orderkey) OVER w, -1) AS BIGINT) AS prev_key,
+        | CAST(COALESCE(LEAD(o_orderkey) OVER w, -1) AS BIGINT) AS next_key,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile,
+        | CAST(RANK() OVER w AS BIGINT) AS rnk,
+        | CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        | ROUND(PERCENT_RANK() OVER w, 4) AS prank
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_arrayfuncs" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+        |    x -> LENGTH(x) > 0) AS tok FROM documents)
+        |SELECT doc_id,
+        | ARRAY_TO_STRING(LIST_SORT(tok)[1:3], '|') AS first3_sorted,
+        | CAST(LEN(LIST_DISTINCT(tok)) AS INT) AS n_distinct,
+        | LIST_CONTAINS(tok, 'spark') AS has_spark,
+        | CAST(LEN(LIST_FILTER(tok, x -> LENGTH(x) >= 5)) AS BIGINT) AS n_long,
+        | ARRAY_TO_STRING(LIST_TRANSFORM(tok[1:2], x -> UPPER(x)), ',') AS up2
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_chart_slice" ->
       """SELECT doc_id,
         | ARRAY_TO_STRING(t[1:5], ', ') ||
