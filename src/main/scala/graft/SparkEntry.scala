@@ -338,6 +338,31 @@ object SparkEntry {
         .orderBy("priority", "doc_id")
     }),
 
+    // ---- 3-way broadcast join chain (supplier -> nation -> region) --------
+    "q_join3" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")) * 100).cast("bigint").as("acctbal_cents"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- A8 report threshold as a relational filter over the committed
+    // extraction table (diagram_analyzer.py:80,93: probability >= 40) ------
+    "x_scores_reportable" -> ((s: SparkSession, dir: String) => {
+      Pipeline.extractedCommitted(s, dir)
+        .select(col("url"), explode(col("scores")).as("sc"))
+        .filter(col("sc.probability") >= 40)
+        .select(col("url"), col("sc.page").as("page"),
+          col("sc.total_score").as("total_score"),
+          col("sc.probability").as("probability"))
+        .orderBy("url", "page")
+    }),
+
     // ---- JSON scalar functions over the events props column ---------------
     "q_json" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -560,6 +585,13 @@ object SparkEntry {
         | CASE WHEN doc_id % 17 = 13 THEN 'pdf' ELSE 'html' END AS kind,
         | CASE WHEN doc_id % 17 = 13 THEN 3 ELSE 5 END AS priority
         |FROM documents ORDER BY priority, doc_id""".stripMargin,
+    "q_join3" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        | CAST(ROUND(SUM(s_acctbal) * 100) AS BIGINT) AS acctbal_cents
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json" ->
       """SELECT event_type,
         | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,

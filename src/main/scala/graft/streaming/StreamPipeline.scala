@@ -69,4 +69,30 @@ object StreamPipeline {
     pages.groupBy(window(col("warc_ts"), "1 hour"), col("lang"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("lang"), col("n"))
+
+  /** Streaming dedup of a crawl stream: re-crawled urls (same content hash)
+    * within the watermark are dropped exactly once via
+    * `dropDuplicatesWithinWatermark` — the streaming twin of dd_exact.
+    * State is bounded by the watermark horizon (eviction past 1 hour of
+    * event time), the property that makes dedup viable on an unbounded
+    * 100 TB/day crawl where an unbounded dropDuplicates would OOM. */
+  def runDedupAvailableNow(spark: SparkSession, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val pages = spark.readStream.schema(pagesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
+    val deduped = pages
+      .withColumn("fp", md5(col("html")))
+      .withWatermark("warc_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("url"), col("warc_ts"), col("fp"))
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

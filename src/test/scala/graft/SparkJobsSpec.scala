@@ -120,6 +120,22 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup within watermark drops re-crawled duplicates exactly once") {
+    val inDir = tmp(); val outDir = tmp() + "/out"; val ckpt = tmp() + "/ckpt"
+    val p = pages.filter(col("url").rlike("doc-[0-9]$")).cache() // 10 docs
+    p.coalesce(1).write.mode("append").parquet(inDir)
+    // same content re-crawled 10 minutes later: same fp, within the 1h
+    // watermark -> must be dropped
+    p.withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 10 MINUTES"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    // genuinely new docs
+    pages.filter(col("url").rlike("doc-1[0-9]$")).coalesce(1).write.mode("append").parquet(inDir)
+    StreamPipeline.runDedupAvailableNow(spark, inDir, outDir, ckpt)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 20, s"expected 20 unique docs, got ${out.count()}")
+    assert(out.select("fp").distinct().count() == 20)
+  }
+
   test("metrics sidecar counts docs and errors per partition") {
     val p = pages.repartition(4)
     val m = Pipeline.metrics(spark, p).collect()
