@@ -363,6 +363,18 @@ object SparkEntry {
         .orderBy("url", "page")
     }),
 
+    // ---- S1 as a DataSource V2 connector: pages table via the custom
+    // TableProvider, selecting only pruned-fast-path columns (no body
+    // synthesis; the oracle recomputes warc_ts algebraically from the
+    // Synth clock rule: 1700000000s + 600s per doc) ------------------------
+    "q_pages_dsv2" -> ((s: SparkSession, dir: String) => {
+      s.read.format("graft.sources.PagesDataSource").option("path", dir).load()
+        .select(
+          regexp_extract(col("url"), "doc-(\\d+)$", 1).cast("bigint").as("doc_id"),
+          unix_micros(col("warc_ts")).as("ts_us"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- JSON scalar functions over the events props column ---------------
     "q_json" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -592,6 +604,10 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pages_dsv2" ->
+      """SELECT doc_id,
+        | (1700000000 + doc_id * 600) * 1000000 AS ts_us, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_json" ->
       """SELECT event_type,
         | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,

@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.ParquetReadOptions
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the synthesized pages corpus: `spark.read
+  * .format("graft.sources.PagesDataSource").option("path", sfDir).load()`
+  * yields the BASELINE.json input_hint table
+  * `pages(url, warc_ts, html, text, lang)` — the S1 "folder scan -> table"
+  * row as a first-class Spark connector instead of a Dataset map.
+  *
+  * Scale design:
+  *  - planInputPartitions = one partition per PARQUET ROW GROUP of the seed
+  *    table (the natural split unit; at 100 TB this is the same granularity
+  *    Spark's own parquet source plans by).
+  *  - SupportsPushDownRequiredColumns is honored for real: when neither
+  *    `html` nor `text` is required, the reader skips synthesizing the page
+  *    body entirely (url/warc_ts/lang are pure id functions) — a
+  *    column-pruning win Spark's optimizer gets to exploit through the
+  *    standard V2 pruning API (visible in the scan description).
+  *  - Readers use parquet-mr directly against the seed row group; no
+  *    driver-side state beyond the footer read at planning time.
+  */
+class PagesDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagesDataSource.pagesSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagesTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object PagesDataSource {
+  val pagesSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  def seedPath(sfDir: String): String =
+    if (sfDir.endsWith(".parquet")) sfDir else s"$sfDir/documents.parquet"
+}
+
+final class PagesTable(sfDir: String) extends Table with SupportsRead {
+  require(sfDir != null && sfDir.nonEmpty, "graft-pages source needs option(\"path\", sfDir)")
+  override def name(): String = s"graft_pages($sfDir)"
+  override def schema(): StructType = PagesDataSource.pagesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagesScanBuilder(sfDir)
+}
+
+final class PagesScanBuilder(sfDir: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PagesDataSource.pagesSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep source field order; empty projections (count(*)) keep url
+    val names = requiredSchema.fieldNames.toSet
+    val pruned = StructType(PagesDataSource.pagesSchema.filter(f => names.contains(f.name)))
+    required = if (pruned.isEmpty) StructType(PagesDataSource.pagesSchema.take(1)) else pruned
+  }
+  override def build(): Scan = new PagesScan(sfDir, required)
+}
+
+final class PagesScan(sfDir: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftPagesScan(seed=${PagesDataSource.seedPath(sfDir)}, required=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = PagesDataSource.seedPath(sfDir)
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), new Configuration())
+    val reader = ParquetFileReader.open(in, ParquetReadOptions.builder().build())
+    try {
+      val nGroups = reader.getRowGroups.size()
+      (0 until nGroups).map(i => PagesInputPartition(path, i): InputPartition).toArray
+    } finally reader.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagesReaderFactory(required.fieldNames)
+}
+
+final case class PagesInputPartition(seedPath: String, rowGroup: Int) extends InputPartition
+
+final class PagesReaderFactory(requiredFields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagesPartitionReader(partition.asInstanceOf[PagesInputPartition], requiredFields)
+}
+
+/** Reads one row group of the seed table with parquet-mr and synthesizes
+  * page rows. Body synthesis (html/text) is skipped when pruned away. */
+final class PagesPartitionReader(part: PagesInputPartition, requiredFields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needsBody =
+    requiredFields.contains("html") || requiredFields.contains("text")
+
+  private val seeds: Iterator[(Long, String, String)] = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.seedPath), new Configuration())
+    val reader = ParquetFileReader.open(in, ParquetReadOptions.builder().build())
+    try {
+      var skipped = 0
+      while (skipped < part.rowGroup) { reader.skipNextRowGroup(); skipped += 1 }
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val group = reader.readNextRowGroup()
+      val io = new ColumnIOFactory().getColumnIO(schema)
+      val rr = io.getRecordReader(group, new GroupRecordConverter(schema))
+      val out = new ArrayBuffer[(Long, String, String)](group.getRowCount.toInt)
+      var i = 0L
+      while (i < group.getRowCount) {
+        val g = rr.read()
+        out += ((g.getLong("doc_id", 0), g.getString("text", 0), g.getString("lang", 0)))
+        i += 1
+      }
+      out.iterator
+    } finally reader.close()
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!seeds.hasNext) return false
+    val (id, text, lang) = seeds.next()
+    val values = if (needsBody) {
+      val p = graft.synth.Synth.pageFor(id, text, lang)
+      requiredFields.map {
+        case "url"     => UTF8String.fromString(p.url)
+        case "warc_ts" => p.warc_ts.getTime * 1000L
+        case "html"    => p.html
+        case "text"    => UTF8String.fromString(p.text)
+        case "lang"    => UTF8String.fromString(p.lang)
+      }
+    } else {
+      // pruned fast path: pure id functions, no body synthesis
+      requiredFields.map {
+        case "url"     => UTF8String.fromString(graft.synth.Synth.urlFor(id))
+        case "warc_ts" => graft.synth.Synth.tsFor(id).getTime * 1000L
+        case "lang"    => UTF8String.fromString(lang)
+      }
+    }
+    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

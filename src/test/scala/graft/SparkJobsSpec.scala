@@ -217,6 +217,24 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.n == 3)
   }
 
+  test("DataSource V2 pages connector equals Pipeline.pages and prunes columns") {
+    val dir = "/root/testdata/sf0.001"
+    val dsv2 = spark.read.format("graft.sources.PagesDataSource")
+      .option("path", dir).load()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("url", "unix_micros(warc_ts) AS ts", "md5(html) AS h", "text", "lang")
+        .collect().map(_.toSeq).toSet
+    assert(key(dsv2) == key(Pipeline.pages(spark, dir)))
+    // column pruning reaches the connector: html/text dropped from the scan
+    val pruned = dsv2.select("url", "lang")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("required=url,lang"), scanDesc)
+    assert(pruned.count() == 500)
+    // aggregates work over the connector
+    val langs = dsv2.groupBy("lang").count().collect().map(_.getLong(1)).sum
+    assert(langs == 500)
+  }
+
   test("pages round-trip through csv/json sources; links csv sink (S10)") {
     val p = pages.limit(50).cache()
     val csvDir = tmp() + "/pages_csv"
