@@ -47,4 +47,13 @@ object ResumableRun {
     require(paths.nonEmpty, s"no committed snapshots under $tableDir")
     spark.read.parquet(paths: _*)
   }
+
+  /** Time travel: read the table as of snapshot `version` (the Iceberg
+    * `VERSION AS OF` analog — every manifest is retained by SnapshotLog). */
+  def readTableAsOf(spark: SparkSession, tableDir: String, version: Int): DataFrame = {
+    val log = new SnapshotLog(tableDir)
+    val paths = log.committedPathsAt(version)
+    require(paths.nonEmpty, s"no committed buckets at snapshot v$version under $tableDir")
+    spark.read.parquet(paths: _*)
+  }
 }

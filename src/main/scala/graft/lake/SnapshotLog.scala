@@ -41,11 +41,17 @@ final class SnapshotLog(tableDir: String) {
   }
 
   /** Buckets committed as of the latest snapshot. */
-  def committedBuckets(): Set[Int] = {
-    val v = latestVersion()
-    if (v == 0) Set.empty
+  def committedBuckets(): Set[Int] = committedBucketsAt(latestVersion())
+
+  /** Time travel: buckets committed as of manifest version `v` (0 = empty
+    * table). Every manifest is retained, so any historical snapshot can be
+    * read back — the Iceberg `VERSION AS OF` analog. */
+  def committedBucketsAt(v: Int): Set[Int] = {
+    if (v <= 0) Set.empty
     else {
-      val json = new String(Files.readAllBytes(snapsDir.resolve(s"v$v.json")))
+      val manifest = snapsDir.resolve(s"v$v.json")
+      require(Files.exists(manifest), s"no snapshot v$v under $snapsDir")
+      val json = new String(Files.readAllBytes(manifest))
       // manifest format: {"version":K,"buckets":[1,2,3]}
       val m = """"buckets"\s*:\s*\[([0-9,\s]*)\]""".r
       m.findFirstMatchIn(json) match {
@@ -81,6 +87,13 @@ final class SnapshotLog(tableDir: String) {
   /** Paths of all committed bucket dirs (for reading the table back). */
   def committedPaths(): Vector[String] =
     committedBuckets().toVector.sorted.map(b => bucketDataDir(b).toString)
+
+  /** Paths as of snapshot `v` (time travel). NOTE: valid for buckets whose
+    * data was not re-committed after v (re-commit replaces the bucket dir;
+    * this log keeps manifests, not data copies — same caveat as expiring
+    * snapshots in Iceberg). */
+  def committedPathsAt(v: Int): Vector[String] =
+    committedBucketsAt(v).toVector.sorted.map(b => bucketDataDir(b).toString)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {

@@ -24,7 +24,7 @@ object PdfExtract {
 
   def extract(bytes: Array[Byte], textFallback: String): ExtractResult = {
     try {
-      val pages = PdfParser.parse(bytes)
+      val (pages, info) = PdfParser.parseWithInfo(bytes)
       if (pages.isEmpty || pages.forall(_.words.isEmpty))
         return graft.extract.Extractor.fallback(textFallback, null)
 
@@ -84,7 +84,14 @@ object PdfExtract {
         sb.append(section)
         spans += Span(start, sb.length, "links_section")
       }
-      val meta = DocMeta.empty.copy(pageCount = pages.size)
+      // M1 metadata from the document information dictionary (trailer /Info)
+      val meta = DocMeta(
+        title = info.getOrElse("Title", ""),
+        author = info.getOrElse("Author", ""),
+        description = info.getOrElse("Subject", ""),
+        keywords = info.getOrElse("Keywords", ""),
+        htmlLang = "",
+        pageCount = pages.size)
       ExtractResult(sb.toString, spans.result(), Links.dedupKeepLongest(links.toSeq),
         meta, Vector.empty, null)
     } catch {

@@ -20,8 +20,9 @@ object PdfGen {
   private def d1(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
-  /** Build a PDF from pages of positioned lines. */
-  def build(pages: Seq[PdfPage]): Array[Byte] = {
+  /** Build a PDF from pages of positioned lines, with an optional
+    * document information dictionary (trailer /Info: Title/Author). */
+  def build(pages: Seq[PdfPage], title: String = "", author: String = ""): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -35,6 +36,8 @@ object PdfGen {
     val annotBase = pageObjBase + nPages * objsPerPage
     val nAnnots = pages.map(_.links.size).sum
     val fontObj = annotBase + nAnnots
+    val hasInfo = title.nonEmpty || author.nonEmpty
+    val infoObj = fontObj + 1
 
     def obj(num: Int)(body: => Unit): Unit = {
       offsets += out.size()
@@ -90,13 +93,19 @@ object PdfGen {
     obj(fontObj) {
       write("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")
     }
+    if (hasInfo) obj(infoObj) {
+      val t = if (title.nonEmpty) s"/Title (${escStr(title)}) " else ""
+      val a = if (author.nonEmpty) s"/Author (${escStr(author)}) " else ""
+      write(s"<< $t$a>>\n")
+    }
 
     val xrefPos = out.size()
-    val total = fontObj + 1
+    val total = (if (hasInfo) infoObj else fontObj) + 1
     write(s"xref\n0 $total\n")
     write("0000000000 65535 f \n")
     offsets.foreach(o => write(f"$o%010d 00000 n \n"))
-    write(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    val infoRef = if (hasInfo) s" /Info $infoObj 0 R" else ""
+    write(s"trailer\n<< /Size $total /Root 1 0 R$infoRef >>\nstartxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
   }
 
@@ -118,9 +127,13 @@ object PdfGen {
     // page 2: pure two-column layout (column-detection path)
     val leftCol = (0 until 5).map(i => (72.0, top - i * lh, take(4, 7 + i)))
     val rightCol = (0 until 5).map(i => (340.0, top - i * lh, take(4, 19 + i)))
+    def cap(w: String): String =
+      if (w.isEmpty) w else w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + w.substring(1)
     val pdf = build(Seq(
       PdfPage(p1Lines, Seq(link)),
-      PdfPage(leftCol ++ rightCol, Nil)))
+      PdfPage(leftCol ++ rightCol, Nil)),
+      title = s"${cap(take(3, 0))} - doc $docId",
+      author = s"Synth Author ${docId % 97}")
     // the plain-text fallback rendering (reading order)
     val plain = (p1Lines.map(_._3) ++ leftCol.map(_._3) ++ rightCol.map(_._3))
       .mkString("\n")

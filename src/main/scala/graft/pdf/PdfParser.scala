@@ -94,6 +94,39 @@ object PdfParser {
       case _       => 0.0
     }
 
+    /** Document information dictionary (trailer /Info -> Title/Author/
+      * Subject/Keywords), the M1 metadata source for PDFs. The LAST
+      * trailer wins (incremental-update semantics). */
+    def info(): Map[String, String] = {
+      var idx = -1
+      var i = 0
+      val n = bytes.length
+      while (i + 7 <= n) {
+        if (bytes(i) == 't' && bytes(i + 1) == 'r' && bytes(i + 2) == 'a' &&
+          bytes(i + 3) == 'i' && bytes(i + 4) == 'l' && bytes(i + 5) == 'e' &&
+          bytes(i + 6) == 'r') idx = i
+        i += 1
+      }
+      if (idx < 0) return Map.empty
+      try {
+        val lex = new Lexer(bytes, idx + 7)
+        lex.readValue(this) match {
+          case d: PDict =>
+            resolve(d.get("Info").getOrElse(PNull)) match {
+              case inf: PDict =>
+                Seq("Title", "Author", "Subject", "Keywords").flatMap { k =>
+                  resolve(inf.get(k).getOrElse(PNull)) match {
+                    case PStr(s) if s.nonEmpty => Some(k -> s)
+                    case _                     => None
+                  }
+                }.toMap
+              case _ => Map.empty
+            }
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+
     /** All pages in page-tree order; falls back to scanning every object
       * with /Type /Page when the catalog is unreachable. */
     def pages(): Vector[PDict] = {
@@ -211,6 +244,13 @@ object PdfParser {
   def parse(bytes: Array[Byte]): Vector[Page] = {
     val doc = new Doc(bytes)
     doc.pages().map(doc.parsePage)
+  }
+
+  /** Pages plus the document information dictionary (trailer /Info) —
+    * M1 metadata for the PDF branch. */
+  def parseWithInfo(bytes: Array[Byte]): (Vector[Page], Map[String, String]) = {
+    val doc = new Doc(bytes)
+    (doc.pages().map(doc.parsePage), doc.info())
   }
 
   // ---- helpers --------------------------------------------------------------

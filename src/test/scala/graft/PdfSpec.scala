@@ -105,4 +105,18 @@ class PdfSpec extends AnyFunSuite {
     assert(r.extractedText.nonEmpty)
     assert(r.links.nonEmpty)
   }
+
+  test("PDF Info dictionary parses into document metadata (M1)") {
+    val (pdf, _) = graft.pdf.PdfGen.synthPdf(13L, "the fast key order sort".split(" "))
+    val r = graft.pdf.PdfExtract.extract(pdf, "")
+    assert(r.error == null)
+    assert(r.meta.title == "The fast key - doc 13")
+    assert(r.meta.author == "Synth Author 13")
+    assert(r.meta.pageCount == 2)
+    // absent Info dict -> empty metadata, no crash
+    val bare = graft.pdf.PdfGen.build(Seq(
+      graft.pdf.PdfGen.PdfPage(Seq((72.0, 700.0, "hello world")), Nil)))
+    val r2 = graft.pdf.PdfExtract.extract(bare, "")
+    assert(r2.error == null && r2.meta.title == "" && r2.meta.author == "")
+  }
 }

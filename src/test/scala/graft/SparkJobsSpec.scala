@@ -64,6 +64,16 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(resumedRows == fullRows)
     assert(resumedRows.size == 500)
+
+    // time travel: snapshot v3 (after the "killed" run) sees exactly the
+    // first 3 committed buckets' rows; latest sees all 500
+    val asOf3 = ResumableRun.readTableAsOf(spark, dir, 3)
+    val expected3 = ResumableRun.readTable(spark, dir)
+      .withColumn("b", Pipeline.saltedBucket(Pipeline.hotDomains(p).keySet, nBuckets))
+      .filter(col("b").isin(first.map(Integer.valueOf): _*))
+      .count()
+    assert(asOf3.count() == expected3)
+    assert(asOf3.count() < 500)
   }
 
   test("salted bucketing bounds hot-domain skew") {
