@@ -70,5 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_extract_text"),
       ExtractText.info, ExtractText.builder))
+    ext.injectFunction((FunctionIdentifier("graft_fix_url"),
+      FixUrl.info, FixUrl.builder))
   }
 }

@@ -186,6 +186,34 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaExpr.size == 20)
   }
 
+  test("graft_fix_url native codegen expression matches UrlFix and stays in WholeStageCodegen") {
+    graft.plans.FixUrl.register(spark)
+    val sp = spark
+    import sp.implicits._
+    // vector equality vs the Scala implementation (local relation —
+    // Catalyst constant-folds it, which itself exercises interpreted eval)
+    val raw = Seq("www.example.com", "test@example.com", "https://x.io/p",
+      "#frag", "tel:+441234", "example.org/a b", "", "localhost/x")
+    val got = raw.toDF("u").selectExpr("u", "graft_fix_url(u) AS fixed")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    raw.foreach(u => assert(got(u) == graft.extract.UrlFix.fixUrl(u), s"for '$u'"))
+    // true doGenCode: over a real scan the projection stays inside
+    // WholeStageCodegen (no interpreted-eval row boundary)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("concat('www.x-', doc_id, '.com') AS u")
+      .selectExpr("graft_fix_url(u) AS fixed")
+    // "*(1)" is the WholeStageCodegen stage marker: the Project carrying
+    // our expression compiles into codegen stage 1 (no fallback boundary)
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_fix_url"), plan)
+    assert(docs.collect().forall(_.getString(0).startsWith("https://www.x-")))
+    // null propagates as null (UnaryExpression null-safe path)
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(1).selectExpr("CAST(NULL AS STRING) AS u")
+      .selectExpr("graft_fix_url(u) AS fixed").collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("stateful streaming sessionization emits closed sessions matching batch") {
     val inDir = tmp(); val outDir = tmp() + "/out"; val ckpt = tmp() + "/ckpt"
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
