@@ -375,6 +375,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- correlated subqueries: EXISTS / NOT EXISTS (SQL surface) ---------
+    "q_exists" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders_v o
+              |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+              |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+              |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l2
+              |              WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- scalar subquery in a predicate ------------------------------------
+    "q_scalar_subquery" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v2")
+      s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+              | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+              |FROM lineitem_v2
+              |WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem_v2)
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // ---- JSON scalar functions over the events props column ---------------
     "q_json" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -604,6 +626,19 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_exists" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pages_dsv2" ->
       """SELECT doc_id,
         | (1700000000 + doc_id * 600) * 1000000 AS ts_us, lang

@@ -48,6 +48,11 @@ object OpsQueries {
     }),
 
     // ---- unigram-Jaccard near-dup (oracle-able: int-ratio math) ------------
+    // PERMANENTLY gated to small N (doc_id < 300): the raw-token self-join
+    // is quadratic on hot tokens by construction. This query exists ONLY as
+    // the exact-math oracle baseline for the MinHash-LSH scale path; it is
+    // never the plan at scale — at scale Jaccard runs on LSH candidate
+    // pairs only (see dd_minhash_lsh).
     "dd_jaccard" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
