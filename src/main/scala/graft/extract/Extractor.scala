@@ -25,7 +25,7 @@ object Extractor {
       if (html == null || html.isEmpty) return fallback(text, null)
       if (isPdf(html)) return graft.pdf.PdfExtract.extract(html, text)
       val dom = HtmlParser.parse(new String(html, StandardCharsets.UTF_8))
-      extractHtml(dom, text)
+      extractHtml(dom, text, html.length.toLong)
     } catch {
       case e: Throwable =>
         fallback(text, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
@@ -42,7 +42,7 @@ object Extractor {
     ExtractResult(t, spans, Vector.empty, DocMeta.empty, Vector.empty, error)
   }
 
-  def extractHtml(dom: Elem, textFallback: String): ExtractResult = {
+  def extractHtml(dom: Elem, textFallback: String, sizeBytes: Long = -1L): ExtractResult = {
     val meta0 = metadataOf(dom)
     val body = dom.find("body").getOrElse(dom)
     // readability-style root preference: <main> / <article> when present
@@ -72,7 +72,7 @@ object Extractor {
     //     (powerpoint_processor.py:237-239 + diagram_analyzer.py:104-117)
     val sb = new StringBuilder
     val spans = Vector.newBuilder[Span]
-    val metaComment = Fidelity.metadataComment(meta)
+    val metaComment = Fidelity.metadataComment(meta, sizeBytes)
     sb.append(metaComment)
     spans += Span(0, metaComment.length, "meta_comment")
     val off = metaComment.length

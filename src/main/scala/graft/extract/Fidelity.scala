@@ -82,8 +82,11 @@ object Fidelity {
 
   /** M2 analog: metadata prepended as an HTML comment block
     * (metadata_extractor.py:334-380 structure, our document fields).
-    * Deterministic; only non-empty fields are emitted. */
-  def metadataComment(meta: DocMeta): String = {
+    * Field grouping mirrors the reference: document fields, then file
+    * info (`File Size: X.XX MB`, :503-505 — X23 formatMb wired), then the
+    * page count (the presentation-info analog). Deterministic; only
+    * non-empty fields are emitted. */
+  def metadataComment(meta: DocMeta, sizeBytes: Long = -1L): String = {
     val sb = new StringBuilder("\n<!-- DOCUMENT METADATA:\n")
     def add(k: String, v: String): Unit =
       if (v != null && v.nonEmpty) sb.append(s"$k: $v\n")
@@ -92,12 +95,16 @@ object Fidelity {
     add("Description", meta.description)
     add("Keywords", meta.keywords)
     add("Language", meta.htmlLang)
+    if (sizeBytes >= 0)
+      sb.append("File Size: ")
+        .append(String.format(java.util.Locale.ROOT, "%.2f", Double.box(formatMb(sizeBytes))))
+        .append(" MB\n")
     if (meta.pageCount > 0) sb.append(s"Pages: ${meta.pageCount}\n")
     sb.append("-->\n")
     sb.toString
   }
 
   /** prepend like add_pptx_metadata_for_claude (:380). */
-  def withMetadataComment(markdown: String, meta: DocMeta): String =
-    metadataComment(meta) + markdown
+  def withMetadataComment(markdown: String, meta: DocMeta, sizeBytes: Long = -1L): String =
+    metadataComment(meta, sizeBytes) + markdown
 }

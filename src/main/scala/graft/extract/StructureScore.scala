@@ -19,6 +19,20 @@ object StructureScore {
   private val actionWords =
     Array("create", "update", "check", "verify", "send", "receive", "analyze")
 
+  private val ArrowPattern =
+    java.util.regex.Pattern.compile("[\u2190\u2191\u2192\u2193\u2194\u21d0\u21d2\u21d4\u25b6\u25ba]|<->|->|=>")
+
+  /** Arrow tokens in flowed text — the A2 connector-arrow analog. The regex
+    * alternation is longest-first at each position, so "<->" never double-
+    * counts its "->" suffix. */
+  def countArrows(s: String): Int = {
+    if (s == null || s.isEmpty) return 0
+    val m = ArrowPattern.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   /** Char size of a block — the 1-D "area" analog used for positions and
     * the size-consistency bonus. */
   private def blockChars(b: Block): Int = b match {
@@ -32,10 +46,11 @@ object StructureScore {
 
   /** Rule-by-rule port of `score_slide_for_diagram`
     * (diagram_analyzer.py:391-463), with the reference's exact reason-tag
-    * format (`layout:grid_layout`, `variety:15`, ...). Rules 1-2
-    * (block_arrows / connector_lines / line_ratio) have no DOM analog —
-    * flowed HTML carries no free-floating connector shapes (A2 partial,
-    * documented).
+    * format (`layout:grid_layout`, `variety:15`, ...). Connector ARROWS
+    * use the glyph analog (countArrows); standalone connector LINES are
+    * the one remaining no-DOM-analog skip (flowed HTML has no free-
+    * floating line shapes), so `connector_lines` never fires and
+    * line_ratio reduces to arrows/shapes.
     *
     * Positional analog (A3/A7, SURVEY §1.3): flowed text is 1-D, so
     * vertical position = char offset * 5715 EMU (an ~80-char line ≈ 457K
@@ -66,6 +81,29 @@ object StructureScore {
         val top = off * 5715L
         off += chars
         (top, left)
+      }
+    }
+
+    // Rule 1 (A2 analog): connector ARROWS exist in flowed text as arrow
+    // glyphs/digraphs (→, ⇒, ->, => ...) — counted across paragraph text
+    // (diagram_analyzer.py:407-413). Standalone connector LINES have no
+    // DOM analog and stay 0 (documented skip).
+    val arrows = {
+      var n = 0
+      textBlocks.foreach(_.paragraphs.foreach { p =>
+        n += StructureScore.countArrows(p.cleanText)
+      })
+      n
+    }
+    if (arrows > 0) { score += 20; reasons += s"block_arrows:$arrows" }
+
+    // Rule 2: line-to-shape ratio, lines = 0 so ratio = arrows/shapes
+    // (diagram_analyzer.py:416-421)
+    if (elems.nonEmpty) {
+      val lineRatio = arrows.toDouble / elems.size
+      if (lineRatio >= 0.5) {
+        score += 15
+        reasons += "line_ratio:" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(lineRatio))
       }
     }
 
@@ -118,9 +156,7 @@ object StructureScore {
     }
     if (textScore > 0) { score += textScore; reasons += s"short_text:$textScore" }
 
-    // Rule 6 (A6): flow vocabulary over concatenated lowercase text
-    // (:624-651; the shapes-connected-by-lines +15 leg is part of the
-    // no-DOM-analog skip)
+    // Rule 6 (A6): flow vocabulary over concatenated lowercase text (:624-651)
     val allText = {
       val sb = new StringBuilder
       textBlocks.foreach(_.paragraphs.foreach(p =>
@@ -133,6 +169,8 @@ object StructureScore {
     if (flowMatches >= 2) flowScore += 20
     else if (flowMatches >= 1) flowScore += 10
     if (actionMatches >= 3) flowScore += 10
+    // structural bonus: shapes connected by lines/arrows (:648-650)
+    if (elems.size >= 3 && arrows > 0) flowScore += 15
     if (flowScore > 0) { score += flowScore; reasons += s"flow_pattern:$flowScore" }
 
     // Rule 7 (A7): negative indicators (:653-695), all three legs — long

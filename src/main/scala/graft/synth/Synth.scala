@@ -182,6 +182,8 @@ object Synth {
       // diagram-like page: short flow labels + arrows (scores >= 40 path,
       // exercising A5 text-density + A6 flow vocabulary + A4 variety)
       if (variant == 9) {
+        // connector arrows (A2 glyph analog): ascii + unicode forms
+        html.append("<p>Start -&gt; Process input &#8594; Decision point =&gt; End</p>\n")
         html.append("<ul><li>Start</li><li>Process input</li><li>Decision point</li>" +
           "<li>Create record</li><li>Update index</li><li>Check result</li><li>End</li></ul>\n")
         html.append("<table><tr><th>Step</th><th>Next</th></tr>" +

@@ -429,4 +429,20 @@ class KernelSpec extends AnyFunSuite {
     assert(!flat.reasons.exists(_.startsWith("layout:")), flat.reasons)
     assert(flat.reasons.contains("negatives:-10"), flat.reasons)
   }
+
+  // ---- A2 arrow-glyph analog (Rules 1/2 + structural flow bonus)
+  test("arrow glyph counting and the block_arrows / line_ratio scoring legs") {
+    import StructureScore.countArrows
+    assert(countArrows("A -> B => C \u2192 D") == 3)
+    assert(countArrows("A <-> B") == 1)   // digraph not double-counted
+    assert(countArrows("a - b = c < d") == 0)
+    assert(countArrows("") == 0 && countArrows(null) == 0)
+    val html = """<body><p>go -> here</p><p>then => there</p><p>also \u2192 done</p></body>"""
+    val blocks = BlockWalker.walk(HtmlParser.parse(html).find("body").get)
+    val sc = StructureScore.scorePage(PageBlocks(1, blocks))
+    assert(sc.reasons.contains("block_arrows:3"), sc.reasons)
+    // 3 arrows / 3 elements = ratio 1.0 >= 0.5
+    assert(sc.reasons.contains("line_ratio:1.0"), sc.reasons)
+    assert(sc.reasons.exists(_.startsWith("flow_pattern:")), sc.reasons) // structural +15
+  }
 }
