@@ -30,16 +30,25 @@ object Bench {
     * local[N] shares the host's 32 GC threads across every level and
     * skews low-core throughput upward). Each child warms its own JIT.
     * Returns (docs, seconds of the child's best timed pass). */
-  private def timeExtraction(cores: Int, sfDir: String, nTarget: Int): (Long, Double) =
+  private def timeExtraction(cores: Int, sfDir: String, nTarget: Int): (Long, Double) = {
+    val (d, s, _) = timeExtraction3(cores, sfDir, nTarget); (d, s)
+  }
+
+  /** Like timeExtraction, plus the BODY-ONLY pass seconds (the r1-shape
+    * output without metadata comment/hyperlink/diagram sections) — the
+    * full-vs-body delta attributes output-section cost (VERDICT r2 #2). */
+  private def timeExtraction3(cores: Int, sfDir: String, nTarget: Int): (Long, Double, Double) =
     runChild(cores, "graft.tools.ExtractBench",
       Seq(cores.toString, sfDir, nTarget.toString))
 
   /** Pure-kernel roofline probe (no Spark) — see KernelRoofline scaladoc. */
-  private def timeRoofline(cores: Int, seconds: Double): (Long, Double) =
-    runChild(cores, "graft.tools.KernelRoofline",
+  private def timeRoofline(cores: Int, seconds: Double): (Long, Double) = {
+    val (d, s, _) = runChild(cores, "graft.tools.KernelRoofline",
       Seq(cores.toString, seconds.toString))
+    (d, s)
+  }
 
-  private def runChild(cores: Int, mainClass: String, args: Seq[String]): (Long, Double) = {
+  private def runChild(cores: Int, mainClass: String, args: Seq[String]): (Long, Double, Double) = {
     val javaHome = sys.props("java.home")
     val cp = sys.props("java.class.path")
     val addOpens = Seq(
@@ -65,9 +74,11 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
-    val m = "RESULT docs=(\\d+) sec=([0-9.]+)".r.findFirstMatchIn(out)
+    val m = "RESULT docs=(\\d+) sec=([0-9.]+)(?: bodysec=([0-9.]+))?".r
+      .findFirstMatchIn(out)
       .getOrElse(throw new RuntimeException(s"child bench failed:\n$out"))
-    (m.group(1).toLong, m.group(2).toDouble)
+    (m.group(1).toLong, m.group(2).toDouble,
+      Option(m.group(3)).map(_.toDouble).getOrElse(Double.NaN))
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,9 +144,10 @@ object Bench {
     cooldown()
     val (docsS, secS) = timeExtraction(smallCores, sfDir, target)
     cooldown()
-    val (docsB, secB) = timeExtraction(cpus, sfDir, target)
+    val (docsB, secB, bodySecB) = timeExtraction3(cpus, sfDir, target)
     val thrS = docsS / secS
     val thrB = docsB / secB
+    val thrBody = docsB / bodySecB
     val efficiency = (thrB / thrS) / (cpus.toDouble / smallCores)
 
     // per-query timing session
@@ -175,7 +187,8 @@ object Bench {
       s""""efficiency_trials":${roofTrials.map(t => d(t._3)).mkString("[", ",", "]")}}}"""
     println(s"""{"metric":"total","value":${d(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +
-      s""""sf":"$sfDir","docs_per_sec":${d(thrB)},"scaling":$scaling}""")
+      s""""sf":"$sfDir","docs_per_sec":${d(thrB)},""" +
+      s""""body_only_docs_per_sec":${d(thrBody)},"scaling":$scaling}""")
 
     // human-readable BENCH.md
     val md = new StringBuilder
@@ -217,6 +230,12 @@ object Bench {
       "ceiling, pair A against 1.0.\n\n")
     md.append(f"Spark pair-B efficiency as a fraction of the hardware roofline: " +
       f"${efficiency / math.max(roofline, 1e-9)}%.3f.\n\n")
+    md.append("Output-section cost split (same 4N run, same corpus): full " +
+      f"output ${d(thrB)} docs/sec vs BODY-ONLY (r1-shape: no metadata " +
+      f"comment / hyperlink section / diagram report) ${d(thrBody)} docs/sec " +
+      f"— the sections cost ${(1.0 - thrB / thrBody) * 100}%.1f%% of " +
+      "throughput; any remaining round-over-round delta is engine or host, " +
+      "not output growth.\n\n")
     md.append(s"Reference baseline: ~0.03-0.07 docs/sec single-process " )
     md.append("(BASELINE.md); this engine at 4N: " +
       f"${thrB / 0.07}%.0fx the reference's best case.\n\n")

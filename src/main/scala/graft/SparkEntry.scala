@@ -271,15 +271,26 @@ object SparkEntry {
 
     // ---- set operators: UNION / INTERSECT / EXCEPT --------------------------
     "q_setops" -> ((s: SparkSession, dir: String) => {
+      // UNION/INTERSECT/EXCEPT semantics computed in ONE lineitem scan:
+      // per-key membership flags, set ops derived from the flags (round-3
+      // rewrite — the literal .union/.intersect/.except trio re-scanned
+      // lineitem 3x and shuffled 3x; BENCH_r02 showed it regressing under
+      // load. Same output, one scan + one shuffle; oracle SQL unchanged.)
       val li = t(s, dir, "lineitem")
-      val hi = li.filter(col("l_quantity") >= 49).select(col("l_partkey"))
-      val ret = li.filter(col("l_returnflag") === "R" && col("l_quantity") <= 2)
-        .select(col("l_partkey"))
-      val u = hi.union(ret).distinct().withColumn("op", lit("union"))
-      val i = hi.intersect(ret).withColumn("op", lit("intersect"))
-      val e = hi.except(ret).withColumn("op", lit("except"))
-      u.union(i).union(e)
-        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+      val flags = li
+        .filter(col("l_quantity") >= 49 ||
+          (col("l_returnflag") === "R" && col("l_quantity") <= 2))
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("l_quantity") >= 49, 1).otherwise(0)).as("in_hi"),
+          max(when(col("l_returnflag") === "R" && col("l_quantity") <= 2, 1)
+            .otherwise(0)).as("in_ret"))
+      val ops = flags.select(col("l_partkey"), explode(concat(
+        array(lit("union")),
+        when(col("in_hi") === 1 && col("in_ret") === 1, array(lit("intersect")))
+          .otherwise(array().cast("array<string>")),
+        when(col("in_hi") === 1 && col("in_ret") === 0, array(lit("except")))
+          .otherwise(array().cast("array<string>")))).as("op"))
+      ops.groupBy(col("op")).agg(count(lit(1)).as("n"),
           sum(col("l_partkey")).cast("bigint").as("key_sum"))
         .orderBy("op")
     }),

@@ -20,12 +20,20 @@ import graft.model._
   */
 object Extractor {
 
-  def extract(html: Array[Byte], text: String): ExtractResult = {
+  /** `warcTsUs` = the page's warc_ts in epoch micros (Long.MinValue =
+    * absent): surfaces as the `Crawl Date:` metadata-comment line, the
+    * file-date analog of metadata_extractor.py:154-190 for web corpora.
+    * `bodyOnly` = skip the prepended metadata comment and the appended
+    * hyperlink/diagram sections (body markdown only — also the r1-shape
+    * output, used by the bench to attribute section cost; HTML path only,
+    * PDF output never carries the comment). */
+  def extract(html: Array[Byte], text: String,
+      warcTsUs: Long = Long.MinValue, bodyOnly: Boolean = false): ExtractResult = {
     try {
       if (html == null || html.isEmpty) return fallback(text, null)
       if (isPdf(html)) return graft.pdf.PdfExtract.extract(html, text)
       val dom = HtmlParser.parse(new String(html, StandardCharsets.UTF_8))
-      extractHtml(dom, text, html.length.toLong)
+      extractHtml(dom, text, html.length.toLong, warcTsUs, bodyOnly)
     } catch {
       case e: Throwable =>
         fallback(text, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
@@ -42,7 +50,8 @@ object Extractor {
     ExtractResult(t, spans, Vector.empty, DocMeta.empty, Vector.empty, error)
   }
 
-  def extractHtml(dom: Elem, textFallback: String, sizeBytes: Long = -1L): ExtractResult = {
+  def extractHtml(dom: Elem, textFallback: String, sizeBytes: Long = -1L,
+      warcTsUs: Long = Long.MinValue, bodyOnly: Boolean = false): ExtractResult = {
     val meta0 = metadataOf(dom)
     val body = dom.find("body").getOrElse(dom)
     // readability-style root preference: <main> / <article> when present
@@ -54,7 +63,10 @@ object Extractor {
         pageEls.zipWithIndex.map { case (el, i) => PageBlocks(i + 1, BlockWalker.walk(el)) }
       else Vector(PageBlocks(1, BlockWalker.walk(contentRoot)))
 
-    val meta = meta0.copy(pageCount = pages.size)
+    val meta = meta0.copy(pageCount = pages.size,
+      crawlDate = if (warcTsUs == Long.MinValue) ""
+                  else Fidelity.formatEpochUs(warcTsUs),
+      layoutTypes = layoutTypesOf(body))
     val (bodyText, bodySpans) = assemble(pages)
     if (bodyText.isEmpty) {
       // R2 strategy fallback: rich parse produced nothing -> plain text column
@@ -63,6 +75,8 @@ object Extractor {
     }
     val links = collectLinks(pages)
     val scores = StructureScore.allPages(pages)
+    if (bodyOnly)
+      return ExtractResult(bodyText, bodySpans, links, meta, scores, null)
 
     // Final document assembly mirrors the reference's converted-output shape:
     //  1. metadata comment PREPENDED (metadata_extractor.py:334-380, M2)
@@ -183,28 +197,70 @@ object Extractor {
     Links.dedupKeepLongest(raw.toSeq)
   }
 
-  /** M1 analog (metadata_extractor.py:58-109): <title>, <meta
-    * name=author|description|keywords>, html lang attribute. */
+  /** M1 analog (metadata_extractor.py:58-109 + 154-190): <title>, <meta
+    * name=author|description|keywords>, html lang attribute, and the date
+    * metas. Date values pass through VERBATIM (the reference does "no date
+    * format conversion to maintain precision", :164-168). Precedence
+    * (first-listed wins, matching the reference's core-props-first reads):
+    *   created:  <meta property="article:published_time"> >
+    *             <meta name="date"> > <meta name="dcterms.created">
+    *   modified: <meta property="article:modified_time"> >
+    *             <meta http-equiv="last-modified"> >
+    *             <meta name="dcterms.modified"> */
   private def metadataOf(dom: Elem): DocMeta = {
     val htmlEl = dom.find("html")
     val head = dom.find("head")
     val title = head.flatMap(_.find("title")).orElse(dom.find("title"))
       .map(t => t.rawText.trim.replaceAll("\\s+", " ")).getOrElse("")
     var author = ""; var description = ""; var keywords = ""
+    // date candidates ranked by precedence slot (lower = stronger)
+    var created = ""; var createdRank = Int.MaxValue
+    var modified = ""; var modifiedRank = Int.MaxValue
+    def offerCreated(rank: Int, v: String): Unit =
+      if (v.nonEmpty && rank < createdRank) { created = v; createdRank = rank }
+    def offerModified(rank: Int, v: String): Unit =
+      if (v.nonEmpty && rank < modifiedRank) { modified = v; modifiedRank = rank }
     val metaScope = head.getOrElse(dom)
     (Iterator.single(metaScope) ++ metaScope.descendants).foreach { e =>
       if (e.tag == "meta") {
         val name = e.attr("name").toLowerCase(java.util.Locale.ROOT)
+        val prop = e.attr("property").toLowerCase(java.util.Locale.ROOT)
+        val equiv = e.attr("http-equiv").toLowerCase(java.util.Locale.ROOT)
         val content = e.attr("content")
         name match {
-          case "author"      => if (author.isEmpty) author = content
-          case "description" => if (description.isEmpty) description = content
-          case "keywords"    => if (keywords.isEmpty) keywords = content
-          case _             => ()
+          case "author"           => if (author.isEmpty) author = content
+          case "description"      => if (description.isEmpty) description = content
+          case "keywords"         => if (keywords.isEmpty) keywords = content
+          case "date"             => offerCreated(1, content)
+          case "dcterms.created"  => offerCreated(2, content)
+          case "dcterms.modified" => offerModified(2, content)
+          case _                  => ()
         }
+        prop match {
+          case "article:published_time" => offerCreated(0, content)
+          case "article:modified_time"  => offerModified(0, content)
+          case _                        => ()
+        }
+        if (equiv == "last-modified") offerModified(1, content)
       }
     }
     DocMeta(title, author, description, keywords,
-      htmlEl.map(_.attr("lang")).getOrElse(""), 0)
+      htmlEl.map(_.attr("lang")).getOrElse(""), 0,
+      createdDate = created, modifiedDate = modified)
+  }
+
+  /** Structural-landmark tags present in the body, deduplicated, joined
+    * ", " in first-appearance document order — the DOM analog of the
+    * reference's layout_types summary (metadata_extractor.py:221-278,
+    * `', '.join(set(layout_names))` made deterministic). */
+  private val landmarkTags = Set("nav", "header", "main", "article",
+    "section", "aside", "table", "figure", "form", "footer")
+
+  private[graft] def layoutTypesOf(body: Elem): String = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    (Iterator.single(body) ++ body.descendants).foreach { e =>
+      if (landmarkTags.contains(e.tag)) seen += e.tag
+    }
+    seen.mkString(", ")
   }
 }

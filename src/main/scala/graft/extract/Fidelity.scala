@@ -80,12 +80,34 @@ object Fidelity {
   def formatMb(bytes: Long): Double =
     math.round(bytes / 1048576.0 * 100.0) / 100.0
 
+  /** Python f-string `:.1f` formatting: round-half-even over the EXACT
+    * binary double (ADVICE r2 — Java String.format %.1f is HALF_UP, so 0.25
+    * rendered '0.3' here vs '0.2' in the reference's reason tags). */
+  def pyFormat1f(d: Double): String =
+    new java.math.BigDecimal(d)
+      .setScale(1, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  private val tsFormatter = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.ROOT)
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Render an epoch-micros instant the way the reference's metadata
+    * comment renders datetimes (metadata_extractor.py:459-462 interpolates
+    * the datetime object — Python str() of a naive UTC datetime is
+    * `yyyy-MM-dd HH:mm:ss`). Sub-second micros are dropped like Python
+    * drops a zero microsecond field. */
+  def formatEpochUs(us: Long): String =
+    tsFormatter.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L)))
+
   /** M2 analog: metadata prepended as an HTML comment block
     * (metadata_extractor.py:334-380 structure, our document fields).
-    * Field grouping mirrors the reference: document fields, then file
-    * info (`File Size: X.XX MB`, :503-505 — X23 formatMb wired), then the
-    * page count (the presentation-info analog). Deterministic; only
-    * non-empty fields are emitted. */
+    * Section order mirrors the reference's four format_* passes (:371-375):
+    * document fields, then dates (`Created Date:`/`Last Modified:` like
+    * :459-462, plus `Crawl Date:` — the always-available web-corpus file
+    * date), then file info (`File Size: X.XX MB`, :503-505 — X23 formatMb
+    * wired), then structure (page count + `Layout Types:` like :549-550).
+    * Deterministic; only non-empty fields are emitted. */
   def metadataComment(meta: DocMeta, sizeBytes: Long = -1L): String = {
     val sb = new StringBuilder("\n<!-- DOCUMENT METADATA:\n")
     def add(k: String, v: String): Unit =
@@ -95,11 +117,15 @@ object Fidelity {
     add("Description", meta.description)
     add("Keywords", meta.keywords)
     add("Language", meta.htmlLang)
+    add("Created Date", meta.createdDate)
+    add("Last Modified", meta.modifiedDate)
+    add("Crawl Date", meta.crawlDate)
     if (sizeBytes >= 0)
       sb.append("File Size: ")
         .append(String.format(java.util.Locale.ROOT, "%.2f", Double.box(formatMb(sizeBytes))))
         .append(" MB\n")
     if (meta.pageCount > 0) sb.append(s"Pages: ${meta.pageCount}\n")
+    add("Layout Types", meta.layoutTypes)
     sb.append("-->\n")
     sb.toString
   }

@@ -103,7 +103,8 @@ object StructureScore {
       val lineRatio = arrows.toDouble / elems.size
       if (lineRatio >= 0.5) {
         score += 15
-        reasons += "line_ratio:" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(lineRatio))
+        // Python :.1f is round-half-even (ADVICE r2) — ported via pyFormat1f
+        reasons += "line_ratio:" + Fidelity.pyFormat1f(lineRatio)
       }
     }
 

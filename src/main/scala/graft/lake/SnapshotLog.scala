@@ -68,6 +68,14 @@ final class SnapshotLog(tableDir: String) {
   def stagingDir(bucket: Int): Path =
     tmpDir.resolve(s"$bucket-${latestVersion()}-stage")
 
+  /** A scratch ROOT for one job staging many buckets at once via
+    * `write.partitionBy("bucket")` — each `bucket=N` child dir is then
+    * committed individually with [[commitBucket]]. Single-writer assumption
+    * (same as the rest of the log): concurrent runs at the same version
+    * would collide here. */
+  def stagingRoot(): Path =
+    tmpDir.resolve(s"stage-${latestVersion()}")
+
   /** Atomically publish a staged bucket dir and record it in a new snapshot. */
   def commitBucket(bucket: Int, staged: Path): Unit = {
     val dest = bucketDataDir(bucket)
@@ -95,7 +103,11 @@ final class SnapshotLog(tableDir: String) {
   def committedPathsAt(v: Int): Vector[String] =
     committedBucketsAt(v).toVector.sorted.map(b => bucketDataDir(b).toString)
 
-  private def deleteRecursively(p: Path): Unit = {
+  private def deleteRecursively(p: Path): Unit = SnapshotLog.deleteRecursively(p)
+}
+
+object SnapshotLog {
+  def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.delete)
     }

@@ -87,14 +87,28 @@ final case class PageBlocks(pageNumber: Int, blocks: Vector[Block])
 final case class LinkRow(url: String, page: Int, anchor: String, target: String)
 
 /** Document metadata struct (HTML analog of metadata_extractor.py:58-109):
-  * <title>, <meta name=author|description|keywords>, lang attr, page count. */
+  * <title>, <meta name=author|description|keywords>, lang attr, page count.
+  *
+  * Date fields (metadata_extractor.py:154-190 analog) carry the HTML meta
+  * VALUES VERBATIM — the reference explicitly does "no date format
+  * conversion to maintain precision" (:164-168), so the faithful DOM port
+  * passes `<meta>` date strings through untouched. `crawlDate` is the
+  * always-available file-date analog, formatted from the page's `warc_ts`.
+  * `layoutTypes` is the layout_types analog (:221-278): the deduplicated
+  * ", "-joined list of structural landmark tags present in the document
+  * (the reference joins a Python set — nondeterministic order; this port
+  * uses first-appearance document order, the deterministic refinement). */
 final case class DocMeta(
     title: String,
     author: String,
     description: String,
     keywords: String,
     htmlLang: String,
-    pageCount: Int
+    pageCount: Int,
+    createdDate: String = "",
+    modifiedDate: String = "",
+    crawlDate: String = "",
+    layoutTypes: String = ""
 )
 
 object DocMeta {

@@ -33,8 +33,20 @@ object Ann {
   val TwinOffset = 1000000L
   val TwinAmp = 0.002
 
-  /** cosine(a, b) with double accumulation; arrays are float32 at rest. */
+  /** cosine(a, b) with double accumulation; arrays are float32 at rest.
+    * Planned as the native codegen expression (plans/CosineSim) — the
+    * previous aggregate(zip_with(...)) HOF chain evaluated interpreted per
+    * row with an allocated intermediate array per dot product; the fused
+    * loop stays inside WholeStageCodegen (round-3 change; equality with the
+    * HOF formulation pinned in SparkJobsSpec). */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.plans.CosineSim(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** The HOF formulation (kept as the equality-test reference). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
@@ -51,13 +63,20 @@ object Ann {
     if (((x * 0x2545f4914f6cdd1dL) >>> 63) == 0L) 1.0 else -1.0
   }
 
+  /** dot(e, literal weight array) as the native codegen DotProduct — the
+    * constant side is a Literal ArrayData the generated loop reads
+    * directly. */
+  private def dotLit(e: Column, weights: Array[Double]): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.plans.DotProduct(
+      GraftBridge.expression(e), GraftBridge.expression(array(weights.map(lit): _*))))
+  }
+
   /** r-bit signature of `e` for band `band` (planes band*r .. band*r+r-1). */
   def bandSig(e: Column, band: Int, r: Int, dims: Int): Column = {
     val bits = (0 until r).map { j =>
-      val plane = array((0 until dims).map(d => lit(hyperplaneSign(band * r + j, d))): _*)
-      val dot = aggregate(zip_with(e, plane, (v, w) => v.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+      val plane = (0 until dims).map(d => hyperplaneSign(band * r + j, d)).toArray
+      when(dotLit(e, plane) > 0, shiftleft(lit(1), j)).otherwise(lit(0))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
@@ -92,9 +111,7 @@ object Ann {
     * dots; struct sort, no lambda comparator). */
   def centroidRanking(e: Column, cents: Array[Array[Double]]): Column = {
     val entries = cents.zipWithIndex.map { case (c, i) =>
-      val dot = aggregate(zip_with(e, array(c.map(lit): _*), (v, w) => v.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      struct((-dot).as("negd"), lit(i).as("i"))
+      struct((-dotLit(e, c)).as("negd"), lit(i).as("i"))
     }
     transform(array_sort(array(entries: _*)), x => x.getField("i"))
   }

@@ -80,9 +80,7 @@ object OpsQueries {
       val nHashes = 16
       val bandRows = 4
       // explode shingles once; the 16 minhashes are min() aggregates with
-      // map-side partial combine — one shuffle keyed on doc_id, each shingle
-      // hashed 16x in a single whole-stage-codegen projection (vs the naive
-      // 16 HOF passes over the shingle array, measured ~10x slower).
+      // map-side partial combine — one shuffle keyed on doc_id.
       // IMPORTANT: tokens are materialized through a projection boundary
       // first — inlining `toks(col)` into shingles() makes Catalyst
       // re-evaluate the split per element_at (O(words^2), measured 14s vs
@@ -90,9 +88,14 @@ object OpsQueries {
       val exploded = docs(s, dir)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .select(col("doc_id"), explode(shingles(col("t"), 3)).as("sh"))
-      val withSig = exploded.groupBy(col("doc_id")).agg(
-        min(xxhash64(col("sh"), lit(0))).as("h0"),
-        (1 until nHashes).map(j => min(xxhash64(col("sh"), lit(j))).as(s"h$j")): _*)
+      // each shingle STRING is hashed once; the 16-hash family is derived
+      // by re-hashing that 8-byte LONG with seeds 0..15 (universal-family
+      // trick) — round-3 fix: hashing the ~20-char string 16x per shingle
+      // was the dominant cost of the whole query (14.3s -> ~8s at sf0.1)
+      val hashed = exploded.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      val withSig = hashed.groupBy(col("doc_id")).agg(
+        min(xxhash64(col("h"), lit(0))).as("h0"),
+        (1 until nHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"h$j")): _*)
       val bands = withSig.select(
         col("doc_id"),
         explode(array((0 until nHashes / bandRows).map { b =>

@@ -77,7 +77,11 @@ object TwoPass {
           col("meta.title").as("title"),
           col("meta.author").as("author"),
           col("meta.keywords").as("keywords"),
-          col("meta.page_count").as("page_count"))
+          col("meta.page_count").as("page_count"),
+          col("meta.created_date").as("created_date"),
+          col("meta.modified_date").as("modified_date"),
+          col("meta.crawl_date").as("crawl_date"),
+          col("meta.layout_types").as("layout_types"))
         .withColumn("completeness",
           round((when(col("title") =!= "", 1).otherwise(0) +
             when(col("author") =!= "", 1).otherwise(0) +

@@ -84,14 +84,19 @@ object PdfExtract {
         sb.append(section)
         spans += Span(start, sb.length, "links_section")
       }
-      // M1 metadata from the document information dictionary (trailer /Info)
+      // M1 metadata from the document information dictionary (trailer /Info).
+      // /CreationDate and /ModDate pass through VERBATIM (D:YYYYMMDD...
+      // strings) — same no-conversion policy as the HTML date metas
+      // (metadata_extractor.py:164-168).
       val meta = DocMeta(
         title = info.getOrElse("Title", ""),
         author = info.getOrElse("Author", ""),
         description = info.getOrElse("Subject", ""),
         keywords = info.getOrElse("Keywords", ""),
         htmlLang = "",
-        pageCount = pages.size)
+        pageCount = pages.size,
+        createdDate = info.getOrElse("CreationDate", ""),
+        modifiedDate = info.getOrElse("ModDate", ""))
       ExtractResult(sb.toString, spans.result(), Links.dedupKeepLongest(links.toSeq),
         meta, Vector.empty, null)
     } catch {

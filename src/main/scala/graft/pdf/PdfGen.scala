@@ -21,8 +21,10 @@ object PdfGen {
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
   /** Build a PDF from pages of positioned lines, with an optional
-    * document information dictionary (trailer /Info: Title/Author). */
-  def build(pages: Seq[PdfPage], title: String = "", author: String = ""): Array[Byte] = {
+    * document information dictionary (trailer /Info: Title/Author/
+    * CreationDate/ModDate — dates as literal `D:YYYYMMDDHHmmSSZ` strings). */
+  def build(pages: Seq[PdfPage], title: String = "", author: String = "",
+      creationDate: String = "", modDate: String = ""): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -36,7 +38,8 @@ object PdfGen {
     val annotBase = pageObjBase + nPages * objsPerPage
     val nAnnots = pages.map(_.links.size).sum
     val fontObj = annotBase + nAnnots
-    val hasInfo = title.nonEmpty || author.nonEmpty
+    val hasInfo = title.nonEmpty || author.nonEmpty ||
+      creationDate.nonEmpty || modDate.nonEmpty
     val infoObj = fontObj + 1
 
     def obj(num: Int)(body: => Unit): Unit = {
@@ -96,7 +99,9 @@ object PdfGen {
     if (hasInfo) obj(infoObj) {
       val t = if (title.nonEmpty) s"/Title (${escStr(title)}) " else ""
       val a = if (author.nonEmpty) s"/Author (${escStr(author)}) " else ""
-      write(s"<< $t$a>>\n")
+      val c = if (creationDate.nonEmpty) s"/CreationDate (${escStr(creationDate)}) " else ""
+      val m = if (modDate.nonEmpty) s"/ModDate (${escStr(modDate)}) " else ""
+      write(s"<< $t$a$c$m>>\n")
     }
 
     val xrefPos = out.size()
@@ -133,7 +138,10 @@ object PdfGen {
       PdfPage(p1Lines, Seq(link)),
       PdfPage(leftCol ++ rightCol, Nil)),
       title = s"${cap(take(3, 0))} - doc $docId",
-      author = s"Synth Author ${docId % 97}")
+      author = s"Synth Author ${docId % 97}",
+      // deterministic D:-format dates (M1 PDF date passthrough)
+      creationDate = f"D:2021${docId % 9 + 1}%02d${docId % 28 + 1}%02d120000Z",
+      modDate = f"D:2022${docId % 9 + 1}%02d${docId % 28 + 1}%02d093000Z")
     // the plain-text fallback rendering (reading order)
     val plain = (p1Lines.map(_._3) ++ leftCol.map(_._3) ++ rightCol.map(_._3))
       .mkString("\n")

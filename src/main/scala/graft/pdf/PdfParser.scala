@@ -96,7 +96,13 @@ object PdfParser {
 
     /** Document information dictionary (trailer /Info -> Title/Author/
       * Subject/Keywords), the M1 metadata source for PDFs. The LAST
-      * trailer wins (incremental-update semantics). */
+      * trailer wins (incremental-update semantics).
+      *
+      * Limitation (ADVICE r2): lookup byte-scans for the literal `trailer`
+      * keyword, so PDF 1.5+ files that use cross-reference STREAMS (no
+      * trailer keyword) silently yield empty metadata — body text still
+      * extracts. Fine for the synthetic corpus (classic xref only); a real
+      * xref-stream fallback would scan objects for a dict carrying /Title. */
     def info(): Map[String, String] = {
       var idx = -1
       var i = 0
@@ -114,7 +120,8 @@ object PdfParser {
           case d: PDict =>
             resolve(d.get("Info").getOrElse(PNull)) match {
               case inf: PDict =>
-                Seq("Title", "Author", "Subject", "Keywords").flatMap { k =>
+                Seq("Title", "Author", "Subject", "Keywords",
+                  "CreationDate", "ModDate").flatMap { k =>
                   resolve(inf.get(k).getOrElse(PNull)) match {
                     case PStr(s) if s.nonEmpty => Some(k -> s)
                     case _                     => None

@@ -21,34 +21,6 @@ import graft.synth.Synth
   */
 object Pipeline {
 
-  /** Flat output row for the extraction UDF (nested arrays of structs). */
-  final case class SpanOut(start: Int, end: Int, kind: String)
-  final case class LinkOut(page: Int, anchor: String, target: String)
-  final case class ScoreOut(page: Int, total_score: Int, probability: Int,
-      block_count: Int, bullet_count: Int,
-      n_titles: Int, n_subtitles: Int, n_content: Int)
-  final case class ExtractOut(
-      extracted_text: String,
-      spans: Seq[SpanOut],
-      links: Seq[LinkOut],
-      title: String, author: String, description: String, keywords: String,
-      html_lang: String, page_count: Int,
-      scores: Seq[ScoreOut],
-      error: String)
-
-  def extractOut(html: Array[Byte], text: String): ExtractOut = {
-    val r = graft.extract.Extractor.extract(html, text)
-    ExtractOut(
-      r.extractedText,
-      r.spans.map(s => SpanOut(s.start, s.end, s.kind)),
-      r.links.map(l => LinkOut(l.page, l.anchor, l.target)),
-      r.meta.title, r.meta.author, r.meta.description, r.meta.keywords,
-      r.meta.htmlLang, r.meta.pageCount,
-      r.scores.map(s => ScoreOut(s.page, s.totalScore, s.probability,
-        s.blockCount, s.bulletCount, s.titleCount, s.subtitleCount, s.contentCount)),
-      r.error)
-  }
-
   /** Synthesize the `pages` table (input_hint shape) from the driver's
     * `documents` seed table — deterministic, seeded, no external data. */
   def pages(spark: SparkSession, sfDir: String): DataFrame = {
@@ -77,20 +49,25 @@ object Pipeline {
   }
 
   /** The extraction map stage: one narrow Project over the scan. The kernel
-    * is exposed as a deterministic, null-tolerant Scala UDF (SURVEY.md §2.2:
-    * UDF for composability; Expression wrapper is optional polish). */
+    * is planned as the native Catalyst expression `graft_extract_doc`
+    * (plans/ExtractExpression.scala) — deterministic, null-tolerant, and
+    * free of the case-class-encoder serialize hop a Scala UDF pays per row
+    * on this hottest path. */
   def extracted(pages: DataFrame): DataFrame = {
-    // deterministic UDF (the default) — lets Catalyst prune/push around it
-    val u = udf((html: Array[Byte], text: String) => extractOut(html, text))
+    graft.plans.ExtractDoc.register(pages.sparkSession)
     pages
-      .withColumn("r", u(col("html"), col("text")))
+      .withColumn("r", expr("graft_extract_doc(html, text, warc_ts)"))
       .select(col("url"), col("warc_ts"), col("lang"),
         col("r.extracted_text").as("extracted_text"),
         col("r.spans").as("spans"),
         col("r.links").as("links"),
         struct(col("r.title").as("title"), col("r.author").as("author"),
           col("r.description").as("description"), col("r.keywords").as("keywords"),
-          col("r.html_lang").as("html_lang"), col("r.page_count").as("page_count")
+          col("r.html_lang").as("html_lang"), col("r.page_count").as("page_count"),
+          col("r.created_date").as("created_date"),
+          col("r.modified_date").as("modified_date"),
+          col("r.crawl_date").as("crawl_date"),
+          col("r.layout_types").as("layout_types")
         ).as("meta"),
         col("r.scores").as("scores"),
         col("r.error").as("error"))
@@ -104,13 +81,20 @@ object Pipeline {
     * parquet); every later derived query READS the committed table instead
     * of re-running the kernel — the honest 100 TB shape (extract once,
     * derive links/scores/stats from the stored table, with parquet column
-    * pruning per query). */
+    * pruning per query).
+    *
+    * Assumes the input dir is immutable for the application's lifetime
+    * (standard for a crawl snapshot); a changed input within one app would
+    * be served stale from the memo. The temp table is deleted at JVM exit
+    * (ADVICE r2: repeated sessions must not leak temp dirs). */
   def extractedCommitted(spark: SparkSession, sfDir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + "|" + sfDir
     val dir = committedDirs.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-extracted-").toString
-      graft.lake.ResumableRun.run(spark, pages(spark, sfDir), out, nBuckets = 16)
-      out
+      val out = java.nio.file.Files.createTempDirectory("graft-extracted-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try graft.lake.SnapshotLog.deleteRecursively(out) catch { case _: Throwable => () }))
+      graft.lake.ResumableRun.run(spark, pages(spark, sfDir), out.toString, nBuckets = 16)
+      out.toString
     })
     graft.lake.ResumableRun.readTable(spark, dir)
   }

@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two embedding arrays
+  * (float32 or float64) — `graft_cosine(a, b)`.
+  *
+  * Replaces the `aggregate(zip_with(...))` higher-order-function chain in
+  * the ANN/near-dup queries: Catalyst HOFs are interpreted per row (lambda
+  * closures, boxed element iterators, an allocated intermediate array per
+  * zip_with), while this expression compiles to a primitive fused loop
+  * inside WholeStageCodegen. Semantics match the HOF formulation exactly:
+  * double accumulation in element order over min(len) elements,
+  * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))); both-zero vectors yield NaN
+  * either way. Null ARRAY inputs are null-propagated; elements are assumed
+  * non-null (embedding columns — enforced upstream).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left); val rt = elemType(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, i: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${get(a, i, elemType(left))};
+         |  double $yv = ${get(b, i, elemType(right))};
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen'd dot product over two embedding arrays — the building
+  * block behind LSH hyperplane signatures and IVF centroid assignment
+  * (there the right side is a LITERAL plane/centroid array, so codegen
+  * reads it straight out of a constant ArrayData). Same accumulation
+  * semantics as the zip_with/aggregate HOF chain it replaces. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left); val rt = elemType(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, i: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, null, "graft_cosine",
+    "_FUNC_(a, b) - cosine similarity of two FLOAT/DOUBLE embedding arrays " +
+      "(double accumulation, fused codegen loop).", "")
+
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "graft_cosine(a, b) takes 2 arguments")
+    CosineSim(exprs.head, exprs(1))
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", builder, "built-in")
+}

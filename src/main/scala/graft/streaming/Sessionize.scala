@@ -22,6 +22,17 @@ object Sessionize {
 
   val gapUs: Long = 1800L * 1000000L
 
+  /** Watermark delay used by run(). INVARIANT (ADVICE r2): the delay must
+    * stay <= the session gap — updateState's merge guard only checks
+    * `tsUs - end_us <= gapUs` (an event older than start-gap merges rather
+    * than splitting), which is batch-consistent precisely because the
+    * watermark admits no event more than `gap` behind the stored session
+    * window. Raising the delay above the gap requires adding the
+    * split-before case to updateState first. */
+  val watermarkDelay: String = "30 minutes"
+  require(30L * 60L * 1000000L <= gapUs,
+    "watermark delay must not exceed the session gap (see updateState merge guard)")
+
   def eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -64,7 +75,7 @@ object Sessionize {
     import spark.implicits._
     val events: Dataset[Ev] = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", watermarkDelay)
       .select("user_id", "ts").as[Ev]
     val sessions = events
       .groupByKey(_.user_id)

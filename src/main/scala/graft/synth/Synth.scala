@@ -86,6 +86,17 @@ object Synth {
     html.append(s"""<meta name="author" content="Synth Author ${docId % 97}">""")
     html.append(s"""<meta name="keywords" content="${esc(take(4, 5).replace(' ', ','))}">""")
     html.append(s"""<meta name="description" content="${esc(take(8, 2))}">""")
+    // date metadata (M1): deterministic per-doc strings, consumed VERBATIM
+    // (the reference does no date format conversion). Variant 4 carries BOTH
+    // created sources (%2==0 and %3==1), pinning the
+    // article:published_time > name=date precedence in the goldens.
+    val variant0 = (docId % 10).toInt
+    if (variant0 % 2 == 0)
+      html.append(s"""<meta property="article:published_time" content="2021-0${docId % 9 + 1}-1${docId % 10}T0${docId % 10}:30:00+00:00">""")
+    if (variant0 % 3 == 1)
+      html.append(s"""<meta name="date" content="2019-1${docId % 2}-0${docId % 9 + 1}">""")
+    if (variant0 % 4 == 2)
+      html.append(s"""<meta http-equiv="last-modified" content="2022-0${docId % 9 + 1}-2${docId % 10} 18:0${docId % 10}:00">""")
     html.append("</head><body>\n")
     // boilerplate: nav + cookie banner (must be stripped)
     html.append("""<nav class="topnav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>""")

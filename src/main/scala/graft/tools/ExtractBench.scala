@@ -34,7 +34,23 @@ object ExtractBench {
     }
     pass(); pass() // JIT warmup (this JVM is cold by design)
     val sec = (1 to 3).map(_ => pass()).min
-    println(s"RESULT docs=$docs sec=$sec")
+    // body-only probe (round-3 / VERDICT r2 #2): the same kernel emitting
+    // only body markdown — no metadata comment, hyperlink section or
+    // diagram report. full-vs-body delta = the cost of the round-2 output
+    // sections, separating output growth from engine regression.
+    import org.apache.spark.sql.functions.{udf, col}
+    val bodyUdf = udf((html: Array[Byte], text: String) =>
+      graft.extract.Extractor.extract(html, text, Long.MinValue, bodyOnly = true)
+        .extractedText.length)
+    def bodyPass(): Double = {
+      val t0 = System.nanoTime()
+      pages.select(bodyUdf(col("html"), col("text")).as("n"))
+        .selectExpr("sum(n)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    bodyPass()
+    val bodySec = (1 to 3).map(_ => bodyPass()).min
+    println(s"RESULT docs=$docs sec=$sec bodysec=$bodySec")
     spark.stop()
   }
 }

@@ -49,7 +49,10 @@ object GenGoldens {
     }
     seedDocs.foreach { case (id, text, lang) =>
       val page = graft.synth.Synth.pageFor(id, text, lang)
-      val r = graft.extract.Extractor.extract(page.html, page.text)
+      // warc_ts flows into the Crawl Date metadata line (M1); fixtures above
+      // deliberately pass none, pinning the absent-date path
+      val r = graft.extract.Extractor.extract(page.html, page.text,
+        page.warc_ts.getTime * 1000L)
       require(r.error == null, s"doc $id extraction errored: ${r.error}")
       Files.write(outDir.resolve(s"doc-$id.txt"),
         r.extractedText.getBytes(StandardCharsets.UTF_8))

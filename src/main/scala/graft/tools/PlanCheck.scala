@@ -43,8 +43,10 @@ object PlanCheck {
       }
       name match {
         case "x_extract" =>
+          check("kernel planned as the native graft_extract_doc expression",
+            plan.contains("graft_extract_doc"))
           check("no Exchange before the extraction Project",
-            !plan.split("Exchange").head.contains("extractOut"))
+            !plan.split("Exchange").head.contains("graft_extract_doc"))
           check("scan reads only doc_id/text/lang",
             plan.contains("ReadSchema") && !plan.contains("n_chars"))
         case "q_agg" =>

@@ -30,4 +30,13 @@ object GraftBridge {
     val order = SortOrder(ordAttr, if (descending) Descending else Ascending)
     Dataset.ofRows(spark, TopKPerKeyNode(keyExprs, order, k, plan))
   }
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column (the classic
+    * ExpressionUtils converter is private[sql] — hence this bridge). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Inverse: the Catalyst Expression behind a Column. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -39,7 +39,8 @@ class GoldenSpec extends AnyFunSuite {
   GenGoldens.seedDocs.foreach { case (id, text, lang) =>
     test(s"doc-$id extraction is byte-identical to golden") {
       val page = Synth.pageFor(id, text, lang)
-      val r = Extractor.extract(page.html, page.text)
+      // same warc_ts flow as GenGoldens: the Crawl Date line is golden-pinned
+      val r = Extractor.extract(page.html, page.text, page.warc_ts.getTime * 1000L)
       assert(r.error == null)
       val goldenText = new String(
         Files.readAllBytes(dir.resolve(s"doc-$id.txt")), StandardCharsets.UTF_8)

@@ -445,4 +445,60 @@ class KernelSpec extends AnyFunSuite {
     assert(sc.reasons.contains("line_ratio:1.0"), sc.reasons)
     assert(sc.reasons.exists(_.startsWith("flow_pattern:")), sc.reasons) // structural +15
   }
+
+  // ---- M1 date metadata (metadata_extractor.py:154-190, 459-462 analog) ----
+  test("date metadata: precedence and verbatim passthrough") {
+    def metaOf(head: String): DocMeta = {
+      val dom = HtmlParser.parse(s"<html><head>$head</head><body><p>hello world body</p></body></html>")
+      Extractor.extractHtml(dom, "").meta
+    }
+    // article:published_time beats name=date beats dcterms.created
+    val m1 = metaOf("""<meta name="date" content="2020-01-02">""" +
+      """<meta property="article:published_time" content="2021-03-04T05:06:07+00:00">""" +
+      """<meta name="dcterms.created" content="1999-01-01">""")
+    assert(m1.createdDate == "2021-03-04T05:06:07+00:00")
+    val m2 = metaOf("""<meta name="dcterms.created" content="1999-01-01">""" +
+      """<meta name="date" content="2020-01-02">""")
+    assert(m2.createdDate == "2020-01-02")
+    // modified: article:modified_time > http-equiv last-modified > dcterms
+    val m3 = metaOf("""<meta http-equiv="last-modified" content="Tue, 01 Feb 2022 10:00:00 GMT">""" +
+      """<meta property="article:modified_time" content="2022-02-01T10:00:00Z">""")
+    assert(m3.modifiedDate == "2022-02-01T10:00:00Z")
+    // values pass through VERBATIM (reference: no date format conversion)
+    val m4 = metaOf("""<meta name="date" content="January 5th, 2020 (approx)">""")
+    assert(m4.createdDate == "January 5th, 2020 (approx)")
+    assert(m4.modifiedDate == "")
+  }
+
+  test("crawl date: warc_ts micros formatted like Python str(datetime), absent when unset") {
+    assert(Fidelity.formatEpochUs(1700000000000000L) == "2023-11-14 22:13:20")
+    val dom = HtmlParser.parse("<html><body><p>hello world body</p></body></html>")
+    assert(Extractor.extractHtml(dom, "", -1L, 1700000000000000L).meta.crawlDate == "2023-11-14 22:13:20")
+    assert(Extractor.extractHtml(dom, "").meta.crawlDate == "")
+  }
+
+  test("layout types: landmark tags deduped in first-appearance order") {
+    val dom = HtmlParser.parse("<html><body><nav>n</nav><main><section><p>hello world body</p>" +
+      "<table><tr><td>x</td></tr></table></section><section><figure>f</figure></section>" +
+      "</main><footer>f</footer></body></html>")
+    assert(Extractor.extractHtml(dom, "").meta.layoutTypes == "nav, main, section, table, figure, footer")
+  }
+
+  test("metadata comment renders date + structure sections in reference order") {
+    val meta = DocMeta("T", "A", "", "", "en", 2,
+      createdDate = "2021-01-01", modifiedDate = "2022-02-02",
+      crawlDate = "2023-03-03 00:00:00", layoutTypes = "nav, main")
+    val c = Fidelity.metadataComment(meta, 1048576L)
+    assert(c == "\n<!-- DOCUMENT METADATA:\nTitle: T\nAuthor: A\nLanguage: en\n" +
+      "Created Date: 2021-01-01\nLast Modified: 2022-02-02\nCrawl Date: 2023-03-03 00:00:00\n" +
+      "File Size: 1.00 MB\nPages: 2\nLayout Types: nav, main\n-->\n")
+  }
+
+  test("pyFormat1f: Python round-half-even (ADVICE r2)") {
+    assert(Fidelity.pyFormat1f(0.25) == "0.2")
+    assert(Fidelity.pyFormat1f(0.75) == "0.8")
+    assert(Fidelity.pyFormat1f(0.35) == "0.3") // 0.35 is 0.34999... in binary, like Python
+    assert(Fidelity.pyFormat1f(1.0) == "1.0")
+    assert(Fidelity.pyFormat1f(2.0 / 3.0) == "0.7")
+  }
 }

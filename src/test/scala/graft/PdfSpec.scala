@@ -113,6 +113,10 @@ class PdfSpec extends AnyFunSuite {
     assert(r.meta.title == "The fast key - doc 13")
     assert(r.meta.author == "Synth Author 13")
     assert(r.meta.pageCount == 2)
+    // /CreationDate and /ModDate pass through VERBATIM (D:-format strings;
+    // docId 13 -> month 13%9+1=5, day 13%28+1=14)
+    assert(r.meta.createdDate == "D:20210514120000Z")
+    assert(r.meta.modifiedDate == "D:20220514093000Z")
     // absent Info dict -> empty metadata, no crash
     val bare = graft.pdf.PdfGen.build(Seq(
       graft.pdf.PdfGen.PdfPage(Seq((72.0, 700.0, "hello world")), Nil)))

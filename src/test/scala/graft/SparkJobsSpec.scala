@@ -172,18 +172,34 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernelLinks == twoPass)
   }
 
-  test("graft_extract_text Catalyst expression matches the kernel output") {
+  test("graft_extract_text / graft_extract_doc Catalyst expressions match the kernel output") {
     graft.plans.ExtractText.register(spark)
     val p = pages.limit(20)
     p.createOrReplaceTempView("pages_v")
-    val viaExpr = spark.sql(
+    // direct kernel calls on the same rows — the ground truth both
+    // expressions must reproduce
+    val rows = p.select("url", "html", "text", "warc_ts").collect().map { r =>
+      (r.getString(0), r.getAs[Array[Byte]](1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000L)
+    }
+    // text-only scalar expression: kernel WITHOUT warc_ts (no Crawl Date)
+    val viaText = spark.sql(
       "SELECT url, graft_extract_text(html, text) AS t FROM pages_v")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val viaUdf = Pipeline.extracted(p)
+    rows.foreach { case (url, html, text, _) =>
+      assert(viaText(url) == graft.extract.Extractor.extract(html, text).extractedText,
+        s"graft_extract_text diverged for $url")
+    }
+    // full-struct hot-path expression (what Pipeline.extracted plans):
+    // kernel WITH warc_ts
+    val viaDoc = Pipeline.extracted(p)
       .select("url", "extracted_text")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(viaExpr == viaUdf)
-    assert(viaExpr.size == 20)
+    rows.foreach { case (url, html, text, tsUs) =>
+      assert(viaDoc(url) == graft.extract.Extractor.extract(html, text, tsUs).extractedText,
+        s"graft_extract_doc diverged for $url")
+    }
+    assert(viaText.size == 20 && viaDoc.size == 20)
   }
 
   test("graft_fix_url native codegen expression matches UrlFix and stays in WholeStageCodegen") {
@@ -358,6 +374,62 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recalls = exact.map { case (q, t) => ivf.getOrElse(q, Set.empty).intersect(t).size / 5.0 }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"ann_ivf mean recall@5 = $mean (per-query: $recalls)")
+  }
+
+  test("dd_minhash_lsh and dd_simhash surface planted mutated-copy twins") {
+    // The rows-only CI class that bit round 1's ann_lsh (recall silently 0):
+    // plant near-duplicates — long docs with one appended token — and assert
+    // both hash-banding queries still surface them (VERDICT r2 next-round #6).
+    val dir = tmp()
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val twins = base
+      .filter(col("doc_id") % 25 === 0)
+      .filter(size(split(col("text"), "\\s+")) >= 60)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val planted = twins.select(col("doc_id") - 100000L).collect().map(_.getLong(0)).toSet
+    assert(planted.size >= 5, s"gate corpus too small: $planted")
+    base.unionAll(twins).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // minhash gate: every planted pair must appear among the LSH candidates
+    // (one appended token on a 60+-token doc => shingle Jaccard >= 0.98,
+    // per-4-row-band agreement ~0.93, miss probability ~2e-5 over 4 bands)
+    val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach(id => assert(pairs.contains((id, id + 100000L)),
+      s"dd_minhash_lsh missed planted twin pair ($id, ${id + 100000L})"))
+
+    // simhash gate: twins stay within hamming distance 3 and (pigeonhole at
+    // <=3 flipped bits over 4 bands) share at least one 16-bit band bucket
+    val sh = SparkEntry.queries("dd_simhash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), (2 to 5).map(r.getLong))).toMap
+    planted.foreach { id =>
+      val (h1, b1) = sh(id); val (h2, b2) = sh(id + 100000L)
+      val ham = java.lang.Long.bitCount(h1 ^ h2)
+      assert(ham <= 3, s"simhash hamming($id, twin) = $ham")
+      assert(b1.zip(b2).exists { case (x, y) => x == y },
+        s"simhash twin $id shares no band bucket")
+    }
+  }
+
+  test("native graft_cosine matches the HOF formulation and plans into WholeStageCodegen") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val x = e.select(col("vec_id").as("id"), col("embedding").as("ae"))
+    val y = e.select((col("vec_id") - 1).as("id"), col("embedding").as("be"))
+    val j = x.join(y, "id")
+    val maxDiff = j.select(abs(graft.ops.Ann.cosine(col("ae"), col("be")) -
+        graft.ops.Ann.cosineHof(col("ae"), col("be"))).as("d"))
+      .agg(max(col("d"))).first.getDouble(0)
+    assert(maxDiff <= 1e-12, s"native cosine diverged from HOF by $maxDiff")
+    // the fused loop must sit INSIDE a WholeStageCodegen stage ("*(" marker);
+    // run the query first so AQE materializes the FINAL plan (the lazy plan
+    // prints isFinalPlan=false without codegen stage markers)
+    val q = j.select(graft.ops.Ann.cosine(col("ae"), col("be")).as("s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.contains("graft_cosine") && l.trim.stripPrefix("+- ").startsWith("*(")), plan)
   }
 
   test("extraction plan is a single narrow map stage (no shuffle)") {
