@@ -295,6 +295,43 @@ object SparkEntry {
         .orderBy("op")
     }),
 
+    // ---- AS-OF JOIN: each view event matched to the latest click at-or-
+    // before it by the same user — the canonical time-series operator Spark
+    // lacks natively (builder mandate example). Composed Spark-first: tag +
+    // union + forward-fill `last(_, ignoreNulls)` over one event-time
+    // window — ONE shuffle on user_id, no range self-join blowup. The
+    // DuckDB oracle uses its NATIVE ASOF LEFT JOIN, so two independent
+    // formulations must agree row-for-row. Clicks sharing (user, ts) dedup
+    // to max event_id to make the match deterministic on both engines. ----
+    "q_asof_join" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"),
+          col("click_id"), lit(0).as("is_view"), lit(null).cast("bigint").as("view_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          lit(null).cast("bigint").as("click_id"), lit(1).as("is_view"),
+          col("event_id").as("view_id"))
+      // at equal ts the click sorts first => a same-instant click matches
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("is_view"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(views)
+        // both forward-fills in ONE select => a single Window operator
+        // (separate withColumns planned as two stacked Windows)
+        .select(col("*"),
+          last(col("click_id"), ignoreNulls = true).over(w).as("last_click_id"),
+          last(when(col("is_view") === 0, col("ts_us")), ignoreNulls = true)
+            .over(w).as("last_click_ts"))
+        .filter(col("is_view") === 1)
+        .select(col("view_id"), col("last_click_id").as("click_id"),
+          col("last_click_ts").as("click_ts_us"))
+        .orderBy("view_id")
+    }),
+
     // ---- sessionization: 30-min-gap sessions per user (lag + running sum) --
     "q_sessionize" -> ((s: SparkSession, dir: String) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -608,6 +645,18 @@ object SparkEntry {
         |SELECT op, COUNT(*) AS n, CAST(SUM(l_partkey) AS BIGINT) AS key_sum
         |FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
         |GROUP BY op ORDER BY op""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, EPOCH_US(ts) AS ts_us, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |views AS (
+        |  SELECT user_id, EPOCH_US(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'view')
+        |SELECT v.event_id AS view_id, c.click_id AS click_id,
+        |       c.ts_us AS click_ts_us
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.ts_us >= c.ts_us
+        |ORDER BY view_id""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, EPOCH_US(ts) AS ts_us, event_id,

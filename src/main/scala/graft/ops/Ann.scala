@@ -72,7 +72,10 @@ object Ann {
       GraftBridge.expression(e), GraftBridge.expression(array(weights.map(lit): _*))))
   }
 
-  /** r-bit signature of `e` for band `band` (planes band*r .. band*r+r-1). */
+  /** r-bit signature of `e` for band `band` (planes band*r .. band*r+r-1).
+    * Kept as the unfused reference formulation — production path is the
+    * fused HyperplaneSigs expression below; equality pinned in
+    * SparkJobsSpec. */
   def bandSig(e: Column, band: Int, r: Int, dims: Int): Column = {
     val bits = (0 until r).map { j =>
       val plane = (0 until dims).map(d => hyperplaneSign(band * r + j, d)).toArray
@@ -81,14 +84,20 @@ object Ann {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** All band signatures in one fused matrix-vector expression (one pass
+    * over the embedding for all bands*r planes instead of 72 separate dot
+    * evaluations — see plans/HyperplaneSigs). */
+  def allBandSigs(e: Column, bands: Int, r: Int, dims: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.plans.HyperplaneSigs(
+      GraftBridge.expression(e), bands, r, dims))
+  }
+
   /** (vec_id, embedding) exploded to one row per (band, sig) — the LSH
     * bucket relation both near-dup and twin-ANN join on. */
   def bandedSigs(e: DataFrame, bands: Int, r: Int, dims: Int): DataFrame =
     e.select(col("vec_id"), col("embedding"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandSig(col("embedding"), b, r, dims).as("sig"))): _*)).as("bs"))
-      .select(col("vec_id"), col("embedding"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      posexplode(allBandSigs(col("embedding"), bands, r, dims)).as(Seq("band", "sig")))
 
   /** Corpus ∪ deterministic near-duplicate twins: every vec_id % 5 == 0 row
     * gains a twin at vec_id + TwinOffset whose elements are nudged by

@@ -140,14 +140,21 @@ object OpsQueries {
     // threshold makes it DuckDB-oracle-able (ids only; float noise cannot
     // flip 0.9999-vs-0.51 against a 0.92 cut). ------------------------------
     "dd_embed_neardup" -> ((s: SparkSession, dir: String) => {
-      val sigs = Ann.bandedSigs(Ann.withTwins(embs(s, dir)), bands = 6, r = 12, dims = 64)
-      val a = sigs.select(col("band"), col("sig"),
-        col("vec_id").as("a_id"), col("embedding").as("ae"))
-      val b = sigs.select(col("band"), col("sig"),
-        col("vec_id").as("b_id"), col("embedding").as("be"))
-      a.join(b, Seq("band", "sig"))
+      val corpus = Ann.withTwins(embs(s, dir))
+      // band-bucket self-join carries ONLY (vec_id, band, sig) — at corpus
+      // scale the 6x-replicated band relation must not drag the embedding
+      // array through the shuffle (round-3 change; ~10x shuffle bytes
+      // saved). Embeddings re-join by id for the exact cosine rerank.
+      val sigs = Ann.bandedSigs(corpus, bands = 6, r = 12, dims = 64)
+        .select(col("vec_id"), col("band"), col("sig"))
+      val cand = sigs.select(col("band"), col("sig"), col("vec_id").as("a_id"))
+        .join(sigs.select(col("band"), col("sig"), col("vec_id").as("b_id")),
+          Seq("band", "sig"))
         .filter(col("a_id") < col("b_id"))
-        .dropDuplicates("a_id", "b_id")
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      cand
+        .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("ae")), Seq("a_id"))
+        .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("be")), Seq("b_id"))
         .withColumn("sim", cosine(col("ae"), col("be")))
         .filter(col("sim") >= 0.92)
         .select(col("a_id"), col("b_id"))
@@ -280,6 +287,23 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic train/holdout split (training-pipeline staple):
+    // membership = first hex digit of md5(doc_id) — engine-portable, stable
+    // across runs/engines/cluster sizes (no RNG, no sampling operator), so
+    // the same document always lands in the same split anywhere. '0'/'1' =
+    // 2/16 = 12.5% holdout. Per-row split + per-lang counts let a reviewer
+    // check stratification without a second query. --------------------------
+    "ta_sample" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"),
+            "holdout").otherwise("train"))
+      val byLang = Window.partitionBy(col("lang"), col("split"))
+      d.select(col("doc_id"), col("lang"), col("split"))
+        .withColumn("n_in_lang_split", count(lit(1)).over(byLang))
+        .orderBy("doc_id")
+    }),
+
     // ---- rolling-hash fingerprint: modular polynomial fold over tokens
     // (h = (h*31 + tokval) mod 1e9+7 — engine-portable integer arithmetic) --
     "ta_rollhash" -> ((s: SparkSession, dir: String) => {
@@ -371,6 +395,15 @@ object OpsQueries {
     "ta_fingerprint" ->
       """SELECT doc_id, md5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        |         THEN 'holdout' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT doc_id, lang, split,
+        |  COUNT(*) OVER (PARTITION BY lang, split) AS n_in_lang_split
+        |FROM d ORDER BY doc_id""".stripMargin,
     "ta_rollhash" ->
       """SELECT doc_id,
         | LIST_REDUCE(

@@ -187,5 +187,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ExtractDoc.info, ExtractDoc.builder))
     ext.injectFunction((FunctionIdentifier("graft_fix_url"),
       FixUrl.info, FixUrl.builder))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      CosineSim.info, CosineSim.builder))
   }
 }

@@ -147,6 +147,86 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH band signatures of an embedding in ONE pass — `sigs[band]` is the
+  * r-bit sign pattern of the embedding against hyperplanes band*r..band*r+r-1.
+  *
+  * Replaces bands*r separate DotProduct evaluations per row (72 at the
+  * default 6x12 geometry, each re-reading the embedding array) with a single
+  * cache-friendly matrix-vector product: one pass over the embedding,
+  * accumulating all bands*r dots from a precomputed plane matrix carried as
+  * a codegen reference object. Bit/sign semantics identical to the unfused
+  * formulation (same per-plane accumulation order, bit j set iff dot > 0).
+  */
+case class HyperplaneSigs(child: Expression, bands: Int, r: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+
+  /** planes[p][d] = ±1, p = band*r + j — same bank as Ann.hyperplaneSign. */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(bands * r, dims)((p, d) => graft.ops.Ann.hyperplaneSign(p, d))
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = math.min(e.numElements(), dims)
+    val nPlanes = bands * r
+    val dots = new Array[Double](nPlanes)
+    val fl = isFloat
+    var d = 0
+    while (d < n) {
+      val v = if (fl) e.getFloat(d).toDouble else e.getDouble(d)
+      var p = 0
+      while (p < nPlanes) { dots(p) += v * planes(p)(d); p += 1 }
+      d += 1
+    }
+    val sigs = new Array[Int](bands)
+    var p = 0
+    while (p < nPlanes) {
+      if (dots(p) > 0) sigs(p / r) |= 1 << (p % r)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, e => {
+      val dots = ctx.freshName("dots"); val sigs = ctx.freshName("sigs")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val p = ctx.freshName("p"); val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($e.numElements(), $dims);
+         |double[] $dots = new double[${bands * r}];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $v = (double) $e.$get($d);
+         |  for (int $p = 0; $p < ${bands * r}; $p++) {
+         |    $dots[$p] += $v * $mat[$p][$d];
+         |  }
+         |}
+         |int[] $sigs = new int[$bands];
+         |for (int $p = 0; $p < ${bands * r}; $p++) {
+         |  if ($dots[$p] > 0) $sigs[$p / $r] |= 1 << ($p % $r);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
 object CosineSim {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CosineSim].getName, null, "graft_cosine",

@@ -67,22 +67,49 @@ final class PagesTable(sfDir: String) extends Table with SupportsRead {
 }
 
 final class PagesScanBuilder(sfDir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PagesDataSource.pagesSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep source field order; empty projections (count(*)) keep url
     val names = requiredSchema.fieldNames.toSet
     val pruned = StructType(PagesDataSource.pagesSchema.filter(f => names.contains(f.name)))
     required = if (pruned.isEmpty) StructType(PagesDataSource.pagesSchema.take(1)) else pruned
   }
-  override def build(): Scan = new PagesScan(sfDir, required)
+
+  /** Filters on `lang` (known from the seed row) and `url` (a pure id
+    * function) are accepted and evaluated in the reader BEFORE page-body
+    * synthesis — the V2 analog of parquet row-group filtering: a
+    * lang-restricted or domain-restricted read never pays for the bodies
+    * it drops. Everything else is left for Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val (sup, unsup) = filters.partition {
+      case EqualTo("lang", _: String)                          => true
+      case In("lang", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case IsNotNull("lang") | IsNotNull("url")                => true
+      case StringStartsWith("url", _)                          => true
+      case StringContains("url", _)                            => true
+      case _                                                   => false
+    }
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new PagesScan(sfDir, required, pushed)
 }
 
-final class PagesScan(sfDir: String, required: StructType) extends Scan with Batch {
+final class PagesScan(sfDir: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftPagesScan(seed=${PagesDataSource.seedPath(sfDir)}, required=${required.fieldNames.mkString(",")})"
+    s"GraftPagesScan(seed=${PagesDataSource.seedPath(sfDir)}, " +
+      s"required=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val path = PagesDataSource.seedPath(sfDir)
@@ -96,24 +123,44 @@ final class PagesScan(sfDir: String, required: StructType) extends Scan with Bat
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagesReaderFactory(required.fieldNames)
+    new PagesReaderFactory(required.fieldNames, pushed)
 }
 
 final case class PagesInputPartition(seedPath: String, rowGroup: Int) extends InputPartition
 
-final class PagesReaderFactory(requiredFields: Array[String])
+final class PagesReaderFactory(requiredFields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagesPartitionReader(partition.asInstanceOf[PagesInputPartition], requiredFields)
+    new PagesPartitionReader(partition.asInstanceOf[PagesInputPartition],
+      requiredFields, pushed)
 }
 
 /** Reads one row group of the seed table with parquet-mr and synthesizes
-  * page rows. Body synthesis (html/text) is skipped when pruned away. */
-final class PagesPartitionReader(part: PagesInputPartition, requiredFields: Array[String])
+  * page rows. Body synthesis (html/text) is skipped when pruned away, and
+  * pushed lang/url filters are applied BEFORE body synthesis. */
+final class PagesPartitionReader(part: PagesInputPartition,
+    requiredFields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val needsBody =
     requiredFields.contains("html") || requiredFields.contains("text")
+
+  /** Pre-synthesis filter over (doc_id, lang): url is a pure id function. */
+  private def passes(id: Long, lang: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    lazy val url = graft.synth.Synth.urlFor(id)
+    pushed.forall {
+      case EqualTo("lang", v: String)    => lang == v
+      case In("lang", vs)                => vs.contains(lang)
+      case IsNotNull("lang")             => lang != null
+      case IsNotNull("url")              => true
+      case StringStartsWith("url", p)    => url.startsWith(p)
+      case StringContains("url", p)      => url.contains(p)
+      case _                             => true // never reached: only accepted shapes are pushed
+    }
+  }
 
   private val seeds: Iterator[(Long, String, String)] = {
     val in = HadoopInputFile.fromPath(
@@ -140,8 +187,13 @@ final class PagesPartitionReader(part: PagesInputPartition, requiredFields: Arra
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (!seeds.hasNext) return false
-    val (id, text, lang) = seeds.next()
+    var id = 0L; var text: String = null; var lang: String = null
+    var found = false
+    while (!found && seeds.hasNext) {
+      val s = seeds.next()
+      if (passes(s._1, s._3)) { id = s._1; text = s._2; lang = s._3; found = true }
+    }
+    if (!found) return false
     val values = if (needsBody) {
       val p = graft.synth.Synth.pageFor(id, text, lang)
       requiredFields.map {

@@ -70,6 +70,29 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("lang"), col("n"))
 
+  /** Stream-static broadcast join: the crawl stream enriched against a
+    * STATIC dimension (here the hot-domain table the batch pre-pass
+    * computes) — the standard enrichment shape for an unbounded ingest. The
+    * static side is broadcast to every micro-batch, so the stream is never
+    * shuffled; at 100 TB/day the dimension refresh is a redeploy (or a
+    * foreachBatch re-read), never a stream-stream join. */
+  def runEnrichAvailableNow(spark: SparkSession, inDir: String,
+      staticHotDomains: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val pages = spark.readStream.schema(pagesSchema).parquet(inDir)
+    val enriched = pages
+      .withColumn("domain", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .join(broadcast(staticHotDomains), Seq("domain"), "left")
+      .select(col("url"), col("domain"),
+        coalesce(col("is_hot"), lit(false)).as("is_hot"))
+    val q = enriched.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup of a crawl stream: re-crawled urls (same content hash)
     * within the watermark are dropped exactly once via
     * `dropDuplicatesWithinWatermark` — the streaming twin of dd_exact.

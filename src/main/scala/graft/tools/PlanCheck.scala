@@ -21,7 +21,7 @@ object PlanCheck {
       "x_extract", "x_links", "q_agg", "q_join_collect", "q_forward_fill",
       "q_topk", "q_topk_custom", "dd_minhash_lsh", "dd_exact",
       "dd_embed_neardup", "ann_topk", "ann_ivf", "ta_langid",
-      "q_time_window")
+      "q_time_window", "q_asof_join")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of headline queries (local mode)\n\n")
@@ -74,6 +74,13 @@ object PlanCheck {
         case "x_links" =>
           check("reads the committed extraction table, kernel not re-run",
             !plan.contains("MapElements") && plan.contains("Scan parquet"))
+        case "q_asof_join" =>
+          // one union of two prepared sides through ONE user_id window;
+          // shuffles: click pre-agg + window partitioning + final sort
+          check("single Window (forward-fill as-of, no range self-join)",
+            "\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
+          check("no join operator at all (as-of composed via window)",
+            !plan.contains("Join"))
         case "q_topk_custom" =>
           check("custom TopKPerKey exec planned", plan.contains("TopKPerKey"))
           // the only Sort allowed is the final deterministic output orderBy

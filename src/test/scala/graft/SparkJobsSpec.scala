@@ -287,6 +287,17 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregates work over the connector
     val langs = dsv2.groupBy("lang").count().collect().map(_.getLong(1)).sum
     assert(langs == 500)
+    // filter pushdown reaches the connector (applied pre-body-synthesis)
+    // and agrees with the un-pushed Dataset-map path
+    val filtered = dsv2.filter(col("lang") === "en" &&
+      col("url").startsWith("https://site-"))
+    val desc = filtered.queryExecution.executedPlan.toString
+    assert(desc.contains("EqualTo(lang,en)") && desc.contains("StringStartsWith(url,https://site-"), desc)
+    val expected = Pipeline.pages(spark, dir)
+      .filter(col("lang") === "en" && col("url").startsWith("https://site-"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(filtered.select("url").collect().map(_.getString(0)).toSet == expected)
+    assert(expected.nonEmpty)
   }
 
   test("pages round-trip through csv/json sources; links csv sink (S10)") {
@@ -430,6 +441,37 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.split("\n").exists(l =>
       l.contains("graft_cosine") && l.trim.stripPrefix("+- ").startsWith("*(")), plan)
+  }
+
+  test("fused HyperplaneSigs equals the per-band unfused signature formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bands = 6; val r = 12; val dims = 64
+    val fused = graft.ops.Ann.bandedSigs(e, bands, r, dims)
+      .select("vec_id", "band", "sig").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getInt(2)).toMap
+    val unfused = e.select(col("vec_id"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          graft.ops.Ann.bandSig(col("embedding"), b, r, dims).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band"), col("bs.sig")).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getInt(2)).toMap
+    assert(fused.size == unfused.size && fused.size == 500 * bands)
+    assert(fused == unfused)
+  }
+
+  test("stream-static broadcast enrichment joins the hot-domain dim without shuffling the stream") {
+    val sp = spark
+    import sp.implicits._
+    val inDir = tmp(); val outDir = tmp() + "/out"; val ckpt = tmp() + "/ckpt"
+    pages.write.mode("append").parquet(inDir)
+    val hotDim = Pipeline.hotDomains(pages).keySet.toSeq.toDF("domain")
+      .withColumn("is_hot", lit(true))
+    StreamPipeline.runEnrichAvailableNow(spark, inDir, hotDim, outDir, ckpt)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 500)
+    val hotRows = out.filter(col("is_hot")).select("domain").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(hotRows == Set("big.example.com", "hub.example.org"))
+    assert(out.filter(!col("is_hot")).count() > 0)
   }
 
   test("extraction plan is a single narrow map stage (no shuffle)") {
