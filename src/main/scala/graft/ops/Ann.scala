@@ -119,6 +119,16 @@ object Ann {
     * descending dot(e, centroid) — one codegen projection (k literal-array
     * dots; struct sort, no lambda comparator). */
   def centroidRanking(e: Column, cents: Array[Array[Double]]): Column = {
+    // fused expression: the k*dims centroid matrix rides as a codegen
+    // reference object — the literal-array struct-sort formulation put
+    // 1024 literals in the plan and its codegen COMPILE time dominated
+    // ann_ivf's training loop (round 3; equality pinned in SparkJobsSpec)
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.plans.CentroidArgsort(GraftBridge.expression(e), cents))
+  }
+
+  /** The literal struct-sort formulation (equality-test reference). */
+  def centroidRankingLiteral(e: Column, cents: Array[Array[Double]]): Column = {
     val entries = cents.zipWithIndex.map { case (c, i) =>
       struct((-dotLit(e, c)).as("negd"), lit(i).as("i"))
     }

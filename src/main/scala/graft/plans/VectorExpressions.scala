@@ -227,6 +227,88 @@ case class HyperplaneSigs(child: Expression, bands: Int, r: Int, dims: Int)
     copy(child = newChild)
 }
 
+/** IVF probe order: centroid indices sorted by descending dot(e, centroid),
+  * ties by ascending index — one fused pass over the embedding.
+  *
+  * Replaces the Column formulation `array_sort(array(struct(-dot_k, k)...))`
+  * whose k*dims inline literals (1024 at k=16, dims=64) ballooned codegen
+  * compile time (the dominant cost of ann_ivf's training loop, which builds
+  * that plan fresh per Lloyd iteration). The centroid matrix rides along as
+  * a codegen reference object instead. Ordering semantics are identical to
+  * the struct-sort (same per-centroid accumulation order, descending dot,
+  * ascending index on ties). */
+case class CentroidArgsort(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_centroid_argsort"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CentroidArgsort.argsort(e, isFloat, cents))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("cents", cents, "double[][]")
+    val fl = if (isFloat) "true" else "false"
+    nullSafeCodeGen(ctx, ev, e => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.CentroidArgsort.argsort($e, $fl, $mat));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgsort =
+    copy(child = newChild)
+}
+
+object CentroidArgsort {
+  /** dots + stable argsort, shared by interpreted eval and codegen. */
+  def argsort(e: ArrayData, isFloat: Boolean, cents: Array[Array[Double]]): Array[Int] = {
+    val k = cents.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(e.numElements(), cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+        dot += v * cent(i)
+        i += 1
+      }
+      dots(c) = dot
+      c += 1
+    }
+    val idx = Array.tabulate(k)(identity)
+    // insertion sort on (dot desc, index asc): k is small (16)
+    var i = 1
+    while (i < k) {
+      val cur = idx(i)
+      var j = i - 1
+      while (j >= 0 && (dots(idx(j)) < dots(cur) ||
+          (dots(idx(j)) == dots(cur) && idx(j) > cur))) {
+        idx(j + 1) = idx(j); j -= 1
+      }
+      idx(j + 1) = cur
+      i += 1
+    }
+    idx
+  }
+}
+
 object CosineSim {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CosineSim].getName, null, "graft_cosine",

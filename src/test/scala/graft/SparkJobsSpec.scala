@@ -474,6 +474,19 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(!col("is_hot")).count() > 0)
   }
 
+  test("fused CentroidArgsort equals the literal struct-sort ranking") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.ops.Ann.trainCentroids(e, k = 16, iters = 1)
+    val fused = e.select(col("vec_id"),
+        graft.ops.Ann.centroidRanking(col("embedding"), cents).as("rk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val literal = e.select(col("vec_id"),
+        graft.ops.Ann.centroidRankingLiteral(col("embedding"), cents).as("rk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fused.size == 500)
+    assert(fused == literal)
+  }
+
   test("extraction plan is a single narrow map stage (no shuffle)") {
     val plan = Pipeline.extracted(pages)
       .queryExecution.executedPlan.toString
