@@ -94,11 +94,17 @@ object Fidelity {
   /** Render an epoch-micros instant the way the reference's metadata
     * comment renders datetimes (metadata_extractor.py:459-462 interpolates
     * the datetime object — Python str() of a naive UTC datetime is
-    * `yyyy-MM-dd HH:mm:ss`). Sub-second micros are dropped like Python
-    * drops a zero microsecond field. */
-  def formatEpochUs(us: Long): String =
-    tsFormatter.format(java.time.Instant.ofEpochSecond(
+    * `yyyy-MM-dd HH:mm:ss`, plus `.ffffff` whenever microsecond != 0, which
+    * Python renders and a zero microsecond field omits). ADVICE r3: the
+    * micros suffix was previously dropped unconditionally — latent on the
+    * second-aligned synthetic corpus, wrong for any real warc_ts. */
+  def formatEpochUs(us: Long): String = {
+    val base = tsFormatter.format(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L)))
+    val micros = Math.floorMod(us, 1000000L)
+    if (micros == 0L) base
+    else base + "." + String.format(java.util.Locale.ROOT, "%06d", Long.box(micros))
+  }
 
   /** M2 analog: metadata prepended as an HTML comment block
     * (metadata_extractor.py:334-380 structure, our document fields).

@@ -1,0 +1,50 @@
+package graft.lake
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for a committed table (the Iceberg `rewriteDataFiles`
+  * analog — the first operational gap a long-lived 100 TB deployment hits
+  * after resume correctness): every incremental/chunked commit and every
+  * dynamic-partition write task adds files to a bucket, and a year of
+  * appends turns each bucket into thousands of tiny parquet files whose
+  * open/footer cost dominates scans.
+  *
+  * `compact` rewrites any bucket holding more than `maxFiles` data files
+  * into `targetFiles` files and re-commits it through the NORMAL snapshot
+  * protocol — the bucket swap is a single rename, so concurrent readers of
+  * the current version never see a half-compacted bucket, and the commit
+  * appends a new manifest version like any other commit. Time travel: all
+  * manifests remain readable, but versions older than the compaction now
+  * resolve to the compacted files (the log keeps manifests, not data copies
+  * — the documented SnapshotLog caveat, same trade Iceberg makes once old
+  * files are expired). Pair with `SnapshotLog.expireManifests` to bound
+  * manifest growth.
+  */
+object Compaction {
+
+  /** Compact over-fragmented buckets; returns the buckets rewritten. */
+  def compact(spark: SparkSession, tableDir: String,
+      maxFiles: Int = 1, targetFiles: Int = 1): Vector[Int] = {
+    val log = new SnapshotLog(tableDir)
+    log.init()
+    log.sweepStaleStages()
+    val todo = log.committedBuckets().toVector.sorted
+      .filter(b => parquetFiles(log.bucketDataDir(b)).size > maxFiles)
+    todo.foreach { b =>
+      val staged = log.stagingDir(b)
+      spark.read.parquet(log.bucketDataDir(b).toString)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(staged.toString)
+      log.commitBucket(b, staged)
+    }
+    todo
+  }
+
+  /** Data files of one committed bucket dir (parquet parts only). */
+  def parquetFiles(dir: Path): Vector[Path] =
+    if (!Files.isDirectory(dir)) Vector.empty
+    else Files.list(dir).iterator().asScala.toVector
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+}

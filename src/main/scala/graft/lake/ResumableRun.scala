@@ -1,7 +1,6 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.pipeline.Pipeline
 
 /** Resumable extraction run: pages are hashed into salted buckets
@@ -10,55 +9,81 @@ import graft.pipeline.Pipeline
   * bucket — the BASELINE.json requirement "resumes from Iceberg snapshot
   * checkpoints so a killed run restarts at partition granularity".
   *
-  * Scale note: ALL uncommitted buckets are extracted in ONE job — a single
-  * input scan whose output is dynamic-partition-written to
-  * `_tmp/stage-<v>/bucket=N/`, then each staged bucket dir is atomically
-  * committed in its own snapshot. Commit granularity (and hence resume
-  * granularity) is unchanged, but the input is scanned once instead of
-  * nBuckets times (round-2 verdict: the per-bucket-job loop re-ran the full
-  * page synthesis 16x, 32s on the x_content_stats bench line). The write is
-  * a dynamic partition write with NO shuffle: each task streams rows to at
-  * most nBuckets open files. At cluster scale, cap per-task open files via
-  * nBuckets ~ executors*4 (or add a `.repartition(col("bucket"))` when
-  * nBuckets is large enough that files-per-task dominates — a shuffle of
-  * the OUTPUT, still strictly cheaper than re-scanning the input per
-  * bucket).
+  * Scale note: uncommitted buckets are extracted in chunks of
+  * `chunkBuckets`; each chunk is ONE job — a single input scan whose output
+  * is dynamic-partition-written to `_tmp/stage-<v>/bucket=N/`, then each
+  * staged bucket dir is atomically committed in its own snapshot. The write
+  * is a dynamic partition write with NO shuffle: each task streams rows to
+  * at most chunk-size open files.
+  *
+  * Crash-resume granularity vs scan count (ADVICE r3): commits land only
+  * AFTER a chunk's staging job finishes, so a run killed mid-job loses at
+  * most one chunk of work — but each chunk re-scans the input (the bucket
+  * is a url-hash, which no source can push down). Pick the trade per table:
+  *   - chunkBuckets = nBuckets (default): one scan total, resume
+  *     granularity = the whole run. Right when the input scan is expensive
+  *     relative to checkpoint value (or the table is temp/rebuilt per app,
+  *     e.g. Pipeline.extractedCommitted).
+  *   - chunkBuckets ~ 4*executors: resume granularity = one chunk at the
+  *     cost of nBuckets/chunkBuckets scans. Right for long multi-hour runs
+  *     over a stored corpus where a kill must not forfeit hours.
+  * Stale `stage-*` dirs from previously killed runs are swept before
+  * staging (the next run's stagingRoot has a new version suffix, so
+  * leftovers would otherwise leak forever).
   */
 object ResumableRun {
 
   /** Run (or resume) extraction into `tableDir`. `maxBuckets` caps how many
     * uncommitted buckets to process this invocation (used to simulate a
-    * killed run in tests). Returns the buckets processed this run. */
+    * killed run in tests); `chunkBuckets` sets the commit granularity (see
+    * object scaladoc). Returns the buckets processed this run. */
   def run(spark: SparkSession, pages: DataFrame, tableDir: String,
-      nBuckets: Int, maxBuckets: Int = Int.MaxValue): Vector[Int] = {
+      nBuckets: Int, maxBuckets: Int = Int.MaxValue,
+      chunkBuckets: Int = Int.MaxValue): Vector[Int] = {
     val log = new SnapshotLog(tableDir)
     log.init()
+    log.sweepStaleStages()
     val done = log.committedBuckets()
     val todo = (0 until nBuckets).filterNot(done.contains).take(maxBuckets).toVector
     if (todo.isEmpty) return todo
     val hot = Pipeline.hotDomains(pages).keySet
+    todo.grouped(math.max(1, chunkBuckets)).foreach { chunk =>
+      stageAndCommit(spark, pages, log, hot, nBuckets, chunk)
+    }
+    todo
+  }
+
+  private def stageAndCommit(spark: SparkSession, pages: DataFrame,
+      log: SnapshotLog, hot: Set[String], nBuckets: Int,
+      chunk: Vector[Int]): Unit = {
     // The bucket is a pure function of url, so it is (re)computed on the
     // extracted OUTPUT — the kernel column set stays clean and the input
-    // needs no bucket column threaded through the UDF.
+    // needs no bucket column threaded through the kernel expression.
     val input =
-      if (todo.size == nBuckets) pages
+      if (chunk.size == nBuckets) pages
       else pages.filter(Pipeline.saltedBucket(hot, nBuckets)
-        .isin(todo.map(Integer.valueOf): _*))
+        .isin(chunk.map(Integer.valueOf): _*))
     val stageRoot = log.stagingRoot()
-    Pipeline.extracted(input)
+    val extracted = Pipeline.extracted(input)
       .withColumn("bucket", Pipeline.saltedBucket(hot, nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(stageRoot.toString)
-    todo.foreach { b =>
+    extracted.write.mode("overwrite").partitionBy("bucket").parquet(stageRoot.toString)
+    // schema of the staged DATA files: partitionBy moves `bucket` out
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      extracted.schema.filterNot(_.name == "bucket"))
+    chunk.foreach { b =>
       val staged = stageRoot.resolve(s"bucket=$b")
-      // a bucket with zero input rows stages no dir; commit it as an empty
-      // dir so resume never re-plans it (readers skip file-less dirs)
+      // a bucket with zero input rows stages no dir; commit an EMPTY parquet
+      // write carrying the schema (ADVICE r3: a table whose committed
+      // buckets are all file-less dirs has no footers to infer schema from,
+      // so readTable would fail on an empty input)
       if (!java.nio.file.Files.exists(staged))
-        java.nio.file.Files.createDirectories(staged)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+          .write.parquet(staged.toString)
       log.commitBucket(b, staged)
     }
     // only write-protocol leftovers (_SUCCESS) remain under the stage root
     SnapshotLog.deleteRecursively(stageRoot)
-    todo
   }
 
   /** Read the committed table back (all committed buckets). */
@@ -70,7 +95,8 @@ object ResumableRun {
   }
 
   /** Time travel: read the table as of snapshot `version` (the Iceberg
-    * `VERSION AS OF` analog — every manifest is retained by SnapshotLog). */
+    * `VERSION AS OF` analog — every manifest is retained by SnapshotLog
+    * until `expireManifests`). */
   def readTableAsOf(spark: SparkSession, tableDir: String, version: Int): DataFrame = {
     val log = new SnapshotLog(tableDir)
     val paths = log.committedPathsAt(version)

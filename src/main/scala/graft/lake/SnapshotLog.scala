@@ -103,6 +103,33 @@ final class SnapshotLog(tableDir: String) {
   def committedPathsAt(v: Int): Vector[String] =
     committedBucketsAt(v).toVector.sorted.map(b => bucketDataDir(b).toString)
 
+  /** Remove orphaned `stage-*` dirs left under `_tmp` by runs killed during
+    * staging or the commit loop (ADVICE r3): a restarted run computes a new
+    * stagingRoot from the advanced version and would never clean the old
+    * one, leaking staged parquet forever. Single-writer assumption (same as
+    * the rest of the log) makes ANY existing stage dir garbage. */
+  def sweepStaleStages(): Unit =
+    if (Files.exists(tmpDir))
+      Files.list(tmpDir).iterator().asScala.toVector
+        .filter(_.getFileName.toString.startsWith("stage-"))
+        .foreach(SnapshotLog.deleteRecursively)
+
+  /** Expire old manifests, keeping the most recent `keepLast` versions (the
+    * Iceberg `expireSnapshots` analog — the operational half of snapshot
+    * maintenance, bounding `_snapshots/` growth on a long-lived table).
+    * Time travel to an expired version then fails by design; LATEST and
+    * data dirs are untouched. Returns the versions removed. */
+  def expireManifests(keepLast: Int): Vector[Int] = {
+    require(keepLast >= 1, "must keep at least the latest manifest")
+    val latest = latestVersion()
+    val expired = (1 to latest - keepLast).toVector
+    expired.foreach { v =>
+      val p = snapsDir.resolve(s"v$v.json")
+      if (Files.exists(p)) Files.delete(p)
+    }
+    expired
+  }
+
   private def deleteRecursively(p: Path): Unit = SnapshotLog.deleteRecursively(p)
 }
 

@@ -102,19 +102,36 @@ object Multimodal {
     }
   }
 
+  /** Container header length by magic: IMG1 = 4+2+2, AUD1 = 4+2+2,
+    * VID1 = 4+2+1, unknown = whole blob treated as payload-less. */
+  def headerLen(media: Array[Byte]): Int =
+    if (media.length < 4) media.length
+    else new String(media, 0, 4, "ASCII") match {
+      case "IMG1" | "AUD1" => 8
+      case "VID1"          => 7
+      case _               => media.length
+    }
+
+  /** 8-bin L1-normalized byte histogram of the PAYLOAD (header excluded) —
+    * the pure per-row kernel behind mm_features, factored out so the unit
+    * gate can cross-check it against an independent computation (round 4:
+    * the previous inline loop skipped a constant 8 bytes, silently eating
+    * the first payload byte of every video — VID1's header is 7 bytes). */
+  def histogram8(media: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](8)
+    var i = headerLen(media)
+    while (i < media.length) { bins((media(i) & 0xff) >> 5) += 1; i += 1 }
+    val total = bins.sum
+    if (total > 0) { var j = 0; while (j < 8) { bins(j) /= total; j += 1 } }
+    bins
+  }
+
   /** Feature extraction stub: 8-bin byte histogram of the payload,
     * L1-normalized — deterministic, shaped like an embedding head. */
   def features(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val bins = new Array[Double](8)
-        var i = 8 // skip header
-        while (i < r.media.length) { bins((r.media(i) & 0xff) >> 5) += 1; i += 1 }
-        val total = bins.sum
-        if (total > 0) { var j = 0; while (j < 8) { bins(j) /= total; j += 1 } }
-        MediaFeatures(r.media_id, bins)
-      }
+      rows.map(r => MediaFeatures(r.media_id, histogram8(r.media)))
     }
   }
 

@@ -27,6 +27,24 @@ object OpsQueries {
   /** cosine(a, b) with double accumulation; arrays are float32 at rest. */
   private def cosine(a: Column, b: Column): Column = Ann.cosine(a, b)
 
+  /** 64-bit simhash of a token-hash array, fused native expression (one
+    * pass over the array for all 64 bit counters — see plans/Simhash64). */
+  private[graft] def simhashFused(hashes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.plans.Simhash64(GraftBridge.expression(hashes)))
+  }
+
+  /** The unfused HOF formulation (64 aggregate() folds, one per bit) —
+    * kept ONLY as the equality-test reference for Simhash64. */
+  private[graft] def simhashHof(hashes: Column): Column = {
+    val bitCols = (0 until 64).map { b =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
+      when(ones * 2 > size(hashes), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
   /** word k-shingles of the token array (whole text if shorter than k). */
   private def shingles(tokens: Column, k: Int): Column =
     when(size(tokens) >= k,
@@ -115,19 +133,19 @@ object OpsQueries {
     // ---- SimHash fingerprint (engine-hash; rows-only check) ----------------
     // 64-bit simhash: sign-sum of token-hash bits; near-dups share all 4
     // 16-bit bands -> same scalable bucket-join pattern as MinHash.
+    // The 64 per-bit votes are fused into ONE native expression
+    // (plans/Simhash64): a single pass over the token-hash array
+    // accumulating all 64 bit counters — the previous formulation evaluated
+    // 64 separate interpreted aggregate() HOF folds per row, each
+    // re-traversing the array (round-4 fix, VERDICT r3 #3; equality with
+    // the HOF formulation pinned in SparkJobsSpec).
     "dd_simhash" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .withColumn("hashes", transform(col("t"), x => xxhash64(x)))
-      // per bit b: popcount-style vote; bit set iff #ones*2 > #tokens
-      val bitCols = (0 until 64).map { b =>
-        val ones = aggregate(col("hashes"), lit(0),
-          (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
-        when(ones * 2 > size(col("hashes")), shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }
       val bandCols = (0 until 4).map(band =>
         shiftright(col("simhash"), band * 16).bitwiseAND(0xffffL).as(s"band_$band"))
-      d.withColumn("simhash", bitCols.reduce((x, y) => x.bitwiseOR(y)))
+      d.withColumn("simhash", simhashFused(col("hashes")))
         .select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*)
         .orderBy("doc_id")
     }),
@@ -292,15 +310,23 @@ object OpsQueries {
     // across runs/engines/cluster sizes (no RNG, no sampling operator), so
     // the same document always lands in the same split anywhere. '0'/'1' =
     // 2/16 = 12.5% holdout. Per-row split + per-lang counts let a reviewer
-    // check stratification without a second query. --------------------------
+    // check stratification without a second query.
+    // Stratification counts are a groupBy + broadcast join back: the
+    // previous `count(*) over (partition by lang, split)` forced every row
+    // of a language through ONE window task (low-cardinality partitions —
+    // a scale killer at corpus size); the groupBy partial-aggregates
+    // map-side and the tiny langs*2 count relation broadcasts. Results are
+    // identical, so the DuckDB oracle keeps the window formulation. --------
     "ta_sample" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
         .withColumn("split",
           when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"),
             "holdout").otherwise("train"))
-      val byLang = Window.partitionBy(col("lang"), col("split"))
-      d.select(col("doc_id"), col("lang"), col("split"))
-        .withColumn("n_in_lang_split", count(lit(1)).over(byLang))
+        .select(col("doc_id"), col("lang"), col("split"))
+      val counts = d.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_in_lang_split"))
+      d.join(broadcast(counts), Seq("lang", "split"))
+        .select(col("doc_id"), col("lang"), col("split"), col("n_in_lang_split"))
         .orderBy("doc_id")
     }),
 

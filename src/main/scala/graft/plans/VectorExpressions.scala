@@ -156,6 +156,15 @@ case class DotProduct(left: Expression, right: Expression)
   * accumulating all bands*r dots from a precomputed plane matrix carried as
   * a codegen reference object. Bit/sign semantics identical to the unfused
   * formulation (same per-plane accumulation order, bit j set iff dot > 0).
+  *
+  * Length-mismatch semantics (ADVICE r3): an embedding with
+  * numElements != dims uses MIN-LENGTH partial dots — the same canonical
+  * semantics as the native DotProduct building block that the unfused
+  * `Ann.bandSig` reference is built on (equality on mismatched lengths is
+  * pinned in SparkJobsSpec). The zip_with/aggregate HOF cosine formulation
+  * differs on mismatch (zip_with pads with null, poisoning the dot) — the
+  * exact-HOF-equivalence claim holds for exactly-dims embeddings only,
+  * which is the only shape an embedding column contains.
   */
 case class HyperplaneSigs(child: Expression, bands: Int, r: Int, dims: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -225,6 +234,60 @@ case class HyperplaneSigs(child: Expression, bands: Int, r: Int, dims: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token-hash array in ONE pass — `graft_simhash64(h)`.
+  *
+  * Replaces 64 separate interpreted `aggregate()` HOF folds (one per bit,
+  * each re-traversing the array with boxed lambda evaluation) with a single
+  * primitive loop accumulating all 64 bit counters. Semantics identical to
+  * the fold formulation (pinned in SparkJobsSpec): bit b of the result is
+  * set iff 2 * |{h_i : bit b of h_i set}| > n. Empty arrays yield 0L; null
+  * input null-propagates; elements are assumed non-null (the input is
+  * `transform(tokens, xxhash64)`).
+  */
+case class Simhash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e =>
+      s"${ev.value} = graft.plans.Simhash64.compute($e);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  /** One pass, 64 counters; shared by interpreted eval and codegen (the
+    * static call is JIT-compiled — the win over the HOF folds is avoiding
+    * 64 interpreted traversals, not codegen fusion of this loop itself). */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > n) out |= 1L << b; b += 1 }
+    out
+  }
 }
 
 /** IVF probe order: centroid indices sorted by descending dot(e, centroid),

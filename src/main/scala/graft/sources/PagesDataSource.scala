@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale design:
   *  - planInputPartitions = one partition per PARQUET ROW GROUP of the seed
   *    table (the natural split unit; at 100 TB this is the same granularity
-  *    Spark's own parquet source plans by).
+  *    Spark's own parquet source plans by), SUB-SLICED into row ranges of
+  *    `sliceRows` (default 256, an `option`): each synthesized page is
+  *    ~50x its seed row's bytes plus the downstream kernel cost, so a
+  *    whole seed row group is far more work than its byte size suggests —
+  *    without slicing, a small corpus plans 1 partition and extraction
+  *    runs single-threaded (round 4; the analog of shrinking
+  *    maxPartitionBytes for compute-amplified scans).
   *  - SupportsPushDownRequiredColumns is honored for real: when neither
   *    `html` nor `text` is required, the reader skips synthesizing the page
   *    body entirely (url/warc_ts/lang are pure id functions) — a
@@ -40,11 +46,18 @@ class PagesDataSource extends TableProvider {
     PagesDataSource.pagesSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagesTable(properties.get("path"))
+    new PagesTable(properties.get("path"),
+      Option(properties.get("sliceRows")).map(_.toInt)
+        .getOrElse(PagesDataSource.defaultSliceRows))
   override def supportsExternalMetadata(): Boolean = false
 }
 
 object PagesDataSource {
+  /** Seed rows per input partition (see class scaladoc: page synthesis +
+    * kernel cost amplify each seed row, so splits must be much finer than
+    * row groups for the extraction stage to parallelize). */
+  val defaultSliceRows: Int = 256
+
   val pagesSchema: StructType = StructType(Seq(
     StructField("url", StringType),
     StructField("warc_ts", TimestampType),
@@ -56,17 +69,18 @@ object PagesDataSource {
     if (sfDir.endsWith(".parquet")) sfDir else s"$sfDir/documents.parquet"
 }
 
-final class PagesTable(sfDir: String) extends Table with SupportsRead {
+final class PagesTable(sfDir: String, sliceRows: Int = PagesDataSource.defaultSliceRows)
+    extends Table with SupportsRead {
   require(sfDir != null && sfDir.nonEmpty, "graft-pages source needs option(\"path\", sfDir)")
   override def name(): String = s"graft_pages($sfDir)"
   override def schema(): StructType = PagesDataSource.pagesSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagesScanBuilder(sfDir)
+    new PagesScanBuilder(sfDir, options.getInt("sliceRows", sliceRows))
 }
 
-final class PagesScanBuilder(sfDir: String)
+final class PagesScanBuilder(sfDir: String, sliceRows: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = PagesDataSource.pagesSchema
@@ -99,11 +113,12 @@ final class PagesScanBuilder(sfDir: String)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new PagesScan(sfDir, required, pushed)
+  override def build(): Scan = new PagesScan(sfDir, required, pushed, sliceRows)
 }
 
 final class PagesScan(sfDir: String, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    sliceRows: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -117,8 +132,14 @@ final class PagesScan(sfDir: String, required: StructType,
       new org.apache.hadoop.fs.Path(path), new Configuration())
     val reader = ParquetFileReader.open(in, ParquetReadOptions.builder().build())
     try {
-      val nGroups = reader.getRowGroups.size()
-      (0 until nGroups).map(i => PagesInputPartition(path, i): InputPartition).toArray
+      val groups = reader.getRowGroups
+      (0 until groups.size()).flatMap { i =>
+        val rows = groups.get(i).getRowCount
+        val nSlices = math.max(1L, (rows + sliceRows - 1) / sliceRows).toInt
+        (0 until nSlices).map(s =>
+          PagesInputPartition(path, i, s.toLong * sliceRows,
+            math.min(rows, (s + 1).toLong * sliceRows)): InputPartition)
+      }.toArray
     } finally reader.close()
   }
 
@@ -126,7 +147,9 @@ final class PagesScan(sfDir: String, required: StructType,
     new PagesReaderFactory(required.fieldNames, pushed)
 }
 
-final case class PagesInputPartition(seedPath: String, rowGroup: Int) extends InputPartition
+/** One slice = rows [rowFrom, rowUntil) of row group `rowGroup`. */
+final case class PagesInputPartition(seedPath: String, rowGroup: Int,
+    rowFrom: Long, rowUntil: Long) extends InputPartition
 
 final class PagesReaderFactory(requiredFields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter])
@@ -173,11 +196,16 @@ final class PagesPartitionReader(part: PagesInputPartition,
       val group = reader.readNextRowGroup()
       val io = new ColumnIOFactory().getColumnIO(schema)
       val rr = io.getRecordReader(group, new GroupRecordConverter(schema))
-      val out = new ArrayBuffer[(Long, String, String)](group.getRowCount.toInt)
+      val out = new ArrayBuffer[(Long, String, String)](
+        (part.rowUntil - part.rowFrom).toInt)
+      // read rows sequentially (parquet-mr has no random access within a
+      // group), keep only this slice's [rowFrom, rowUntil) range — decoding
+      // a skipped seed row is trivial next to synthesizing its page body
       var i = 0L
-      while (i < group.getRowCount) {
+      while (i < part.rowUntil) {
         val g = rr.read()
-        out += ((g.getLong("doc_id", 0), g.getString("text", 0), g.getString("lang", 0)))
+        if (i >= part.rowFrom)
+          out += ((g.getLong("doc_id", 0), g.getString("text", 0), g.getString("lang", 0)))
         i += 1
       }
       out.iterator

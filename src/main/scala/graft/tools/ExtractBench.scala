@@ -34,22 +34,33 @@ object ExtractBench {
     }
     pass(); pass() // JIT warmup (this JVM is cold by design)
     val sec = (1 to 3).map(_ => pass()).min
-    // body-only probe (round-3 / VERDICT r2 #2): the same kernel emitting
-    // only body markdown — no metadata comment, hyperlink section or
-    // diagram report. full-vs-body delta = the cost of the round-2 output
-    // sections, separating output growth from engine regression.
-    import org.apache.spark.sql.functions.{udf, col}
-    val bodyUdf = udf((html: Array[Byte], text: String) =>
-      graft.extract.Extractor.extract(html, text, Long.MinValue, bodyOnly = true)
+    // Body-only split (VERDICT r2 #2): full-vs-bodyOnly delta = the cost of
+    // the round-2 output sections (metadata comment, hyperlink section,
+    // diagram report). ADVICE r3 fix: both sides of the A/B now run through
+    // the SAME mechanism — two length-returning Scala UDFs differing ONLY
+    // in the bodyOnly flag, over HTML docs only (bodyOnly is a no-op on the
+    // PDF path, so PDF rows would just dilute the ratio). The headline
+    // full-pass stays the native graft_extract_doc expression; the section
+    // cost RATIO from the UDF A/B is applied to its seconds.
+    import org.apache.spark.sql.functions.{udf, col, not}
+    val isPdfUdf = udf((html: Array[Byte]) => graft.extract.Extractor.isPdf(html))
+    val htmlPages = pages.filter(not(isPdfUdf(col("html")))).cache()
+    htmlPages.count()
+    def lenUdf(bodyOnly: Boolean) = udf((html: Array[Byte], text: String) =>
+      graft.extract.Extractor.extract(html, text, Long.MinValue, bodyOnly = bodyOnly)
         .extractedText.length)
-    def bodyPass(): Double = {
+    def udfPass(u: org.apache.spark.sql.expressions.UserDefinedFunction): Double = {
       val t0 = System.nanoTime()
-      pages.select(bodyUdf(col("html"), col("text")).as("n"))
+      htmlPages.select(u(col("html"), col("text")).as("n"))
         .selectExpr("sum(n)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    bodyPass()
-    val bodySec = (1 to 3).map(_ => bodyPass()).min
+    val fullU = lenUdf(bodyOnly = false); val bodyU = lenUdf(bodyOnly = true)
+    udfPass(fullU); udfPass(bodyU) // warm both
+    val fullUdfSec = (1 to 3).map(_ => udfPass(fullU)).min
+    val bodyUdfSec = (1 to 3).map(_ => udfPass(bodyU)).min
+    // same-mechanism ratio applied to the native-path seconds
+    val bodySec = sec * (bodyUdfSec / fullUdfSec)
     println(s"RESULT docs=$docs sec=$sec bodysec=$bodySec")
     spark.stop()
   }

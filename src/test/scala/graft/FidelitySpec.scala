@@ -52,6 +52,15 @@ class FidelitySpec extends AnyFunSuite {
     assert(Fidelity.formatMb(123456789L) == 117.74)
   }
 
+  test("formatEpochUs renders like Python str(datetime), incl. non-zero micros (ADVICE r3)") {
+    assert(Fidelity.formatEpochUs(1700000000000000L) == "2023-11-14 22:13:20")
+    assert(Fidelity.formatEpochUs(1700000000000001L) == "2023-11-14 22:13:20.000001")
+    assert(Fidelity.formatEpochUs(1700000000123456L) == "2023-11-14 22:13:20.123456")
+    assert(Fidelity.formatEpochUs(1700000000999999L) == "2023-11-14 22:13:20.999999")
+    // negative epoch micros floor-divide into the previous second
+    assert(Fidelity.formatEpochUs(-1L) == "1969-12-31 23:59:59.999999")
+  }
+
   test("M2 metadata comment: prepended, only non-empty fields") {
     val meta = DocMeta("T", "", "D", "", "en", 2)
     val out = Fidelity.withMetadataComment("# Body", meta)

@@ -278,7 +278,9 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.selectExpr("url", "unix_micros(warc_ts) AS ts", "md5(html) AS h", "text", "lang")
         .collect().map(_.toSeq).toSet
-    assert(key(dsv2) == key(Pipeline.pages(spark, dir)))
+    // cross-check against the INDEPENDENT typed-map formulation
+    // (Pipeline.pages itself is the connector since round 4)
+    assert(key(dsv2) == key(Pipeline.pagesTyped(spark, dir)))
     // column pruning reaches the connector: html/text dropped from the scan
     val pruned = dsv2.select("url", "lang")
     val scanDesc = pruned.queryExecution.executedPlan.toString
@@ -293,7 +295,7 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("url").startsWith("https://site-"))
     val desc = filtered.queryExecution.executedPlan.toString
     assert(desc.contains("EqualTo(lang,en)") && desc.contains("StringStartsWith(url,https://site-"), desc)
-    val expected = Pipeline.pages(spark, dir)
+    val expected = Pipeline.pagesTyped(spark, dir)
       .filter(col("lang") === "en" && col("url").startsWith("https://site-"))
       .select("url").collect().map(_.getString(0)).toSet
     assert(filtered.select("url").collect().map(_.getString(0)).toSet == expected)
@@ -491,5 +493,102 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = Pipeline.extracted(pages)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"extraction plan must not shuffle:\n$plan")
+  }
+
+  test("fused graft_simhash64 equals the 64-fold HOF formulation") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("t"))
+      .withColumn("hashes", transform(col("t"), x => xxhash64(x)))
+    val both = d.select(col("doc_id"),
+      OpsQueries.simhashFused(col("hashes")).as("f"),
+      OpsQueries.simhashHof(col("hashes")).as("h")).cache()
+    assert(both.count() == 500)
+    assert(both.filter(col("f") =!= col("h")).count() == 0,
+      "fused simhash diverged from the HOF formulation")
+    // empty token list => all votes 0 => fingerprint 0
+    val empty = spark.sql("SELECT CAST(array() AS array<bigint>) AS hashes")
+      .select(OpsQueries.simhashFused(col("hashes")).as("f"))
+      .first.getLong(0)
+    assert(empty == 0L)
+    both.unpersist()
+  }
+
+  test("HyperplaneSigs min-length semantics pinned against the unfused formulation on truncated embeddings") {
+    // ADVICE r3: length-mismatched embeddings use min-length partial dots —
+    // the same semantics as the DotProduct-based unfused bandSig. Pin the
+    // fused == unfused equality on 48-of-64-dim arrays explicitly.
+    val bands = 6; val r = 12; val dims = 64
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).select(col("vec_id"), slice(col("embedding"), 1, 48).as("embedding"))
+    val fused = graft.ops.Ann.bandedSigs(e, bands, r, dims)
+      .select("vec_id", "band", "sig").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getInt(2)).toMap
+    val unfused = e.select(col("vec_id"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          graft.ops.Ann.bandSig(col("embedding"), b, r, dims).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band"), col("bs.sig")).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getInt(2)).toMap
+    assert(fused.size == 50 * bands)
+    assert(fused == unfused)
+  }
+
+  test("chunked resumable run commits per chunk and equals the single-job table") {
+    val p = pages
+    val nBuckets = 8
+    val dir = tmp()
+    val done = ResumableRun.run(spark, p, dir, nBuckets, chunkBuckets = 3)
+    assert(done == (0 until nBuckets).toVector)
+    val got = ResumableRun.readTable(spark, dir)
+      .select("url", "extracted_text").collect()
+      .map(rw => (rw.getString(0), rw.getString(1))).toMap
+    val expected = Pipeline.extracted(p)
+      .select("url", "extracted_text").collect()
+      .map(rw => (rw.getString(0), rw.getString(1))).toMap
+    assert(got == expected)
+    // every bucket still committed individually (resume granularity in the
+    // log is unchanged; the chunking bounds work LOST to a mid-job kill)
+    assert(new SnapshotLog(dir).latestVersion() == nBuckets)
+  }
+
+  test("resumable run on empty input commits schema-bearing buckets; readTable still works") {
+    // ADVICE r3: an all-empty-bucket table used to have no parquet footers
+    // to infer schema from, so readTable failed on an empty input
+    val dir = tmp()
+    val none = pages.filter(lit(false))
+    ResumableRun.run(spark, none, dir, nBuckets = 4)
+    val t = ResumableRun.readTable(spark, dir)
+    assert(t.count() == 0)
+    assert(t.schema.fieldNames.toSet.contains("extracted_text"))
+  }
+
+  test("compaction rewrites fragmented buckets; time travel survives; manifest expiry bounds the log") {
+    val dir = tmp()
+    val nBuckets = 4
+    // repartitioned input => several files land in each bucket dir
+    ResumableRun.run(spark, pages.repartition(3), dir, nBuckets)
+    val log = new SnapshotLog(dir)
+    val before = ResumableRun.readTable(spark, dir).count()
+    assert(before > 0)
+    val vPre = log.latestVersion()
+    assert((0 until nBuckets).exists(b =>
+      graft.lake.Compaction.parquetFiles(log.bucketDataDir(b)).size > 1),
+      "test setup: expected at least one fragmented bucket")
+
+    val compacted = graft.lake.Compaction.compact(spark, dir)
+    assert(compacted.nonEmpty)
+    compacted.foreach(b =>
+      assert(graft.lake.Compaction.parquetFiles(log.bucketDataDir(b)).size == 1))
+    assert(ResumableRun.readTable(spark, dir).count() == before)
+    // time travel to a PRE-compaction version still reads (resolving to the
+    // compacted files — the documented manifests-not-data-copies caveat)
+    assert(ResumableRun.readTableAsOf(spark, dir, vPre).count() == before)
+
+    val removed = log.expireManifests(keepLast = 2)
+    assert(removed.nonEmpty && removed.forall(_ <= log.latestVersion() - 2))
+    assert(ResumableRun.readTable(spark, dir).count() == before) // LATEST untouched
+    intercept[IllegalArgumentException] {
+      ResumableRun.readTableAsOf(spark, dir, removed.head)
+    }
   }
 }
