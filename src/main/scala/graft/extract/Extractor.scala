@@ -197,29 +197,41 @@ object Extractor {
     Links.dedupKeepLongest(raw.toSeq)
   }
 
-  /** M1 analog (metadata_extractor.py:58-109 + 154-190): <title>, <meta
-    * name=author|description|keywords>, html lang attribute, and the date
-    * metas. Date values pass through VERBATIM (the reference does "no date
-    * format conversion to maintain precision", :164-168). Precedence
-    * (first-listed wins, matching the reference's core-props-first reads):
+  /** M1 analog (metadata_extractor.py:58-109 + 111-152 + 154-190 +
+    * 216-219): <title>, <meta name=author|description|keywords>, html lang
+    * attribute, the date metas, and the core-props breadth fields
+    * (subject/comments/category/last_modified_by/revision/last_printed).
+    * All values pass through VERBATIM (the reference does "no date format
+    * conversion to maintain precision", :164-168 — same policy for every
+    * field here). Precedence (first-listed wins, matching the reference's
+    * core-props-first reads):
     *   created:  <meta property="article:published_time"> >
     *             <meta name="date"> > <meta name="dcterms.created">
     *   modified: <meta property="article:modified_time"> >
     *             <meta http-equiv="last-modified"> >
-    *             <meta name="dcterms.modified"> */
+    *             <meta name="dcterms.modified">
+    *   subject:  <meta name="subject"> > <meta name="dcterms.subject">
+    *   category: <meta property="article:section"> > <meta name="category">
+    *   last_modified_by: <meta name="last-modified-by"> >
+    *             <meta name="dcterms.contributor">
+    *   comments / revision / last_printed: <meta name="comments|revision|
+    *             last-printed"> (single-source) */
   private def metadataOf(dom: Elem): DocMeta = {
     val htmlEl = dom.find("html")
     val head = dom.find("head")
     val title = head.flatMap(_.find("title")).orElse(dom.find("title"))
       .map(t => t.rawText.trim.replaceAll("\\s+", " ")).getOrElse("")
     var author = ""; var description = ""; var keywords = ""
-    // date candidates ranked by precedence slot (lower = stronger)
-    var created = ""; var createdRank = Int.MaxValue
-    var modified = ""; var modifiedRank = Int.MaxValue
-    def offerCreated(rank: Int, v: String): Unit =
-      if (v.nonEmpty && rank < createdRank) { created = v; createdRank = rank }
-    def offerModified(rank: Int, v: String): Unit =
-      if (v.nonEmpty && rank < modifiedRank) { modified = v; modifiedRank = rank }
+    var comments = ""; var revision = ""; var lastPrinted = ""
+    // ranked candidates: value + precedence slot (lower = stronger)
+    final class Ranked {
+      var v = ""; private var rank = Int.MaxValue
+      def offer(r: Int, x: String): Unit =
+        if (x.nonEmpty && r < rank) { v = x; rank = r }
+    }
+    val created = new Ranked; val modified = new Ranked
+    val subject = new Ranked; val category = new Ranked
+    val lastModifiedBy = new Ranked
     val metaScope = head.getOrElse(dom)
     (Iterator.single(metaScope) ++ metaScope.descendants).foreach { e =>
       if (e.tag == "meta") {
@@ -228,25 +240,37 @@ object Extractor {
         val equiv = e.attr("http-equiv").toLowerCase(java.util.Locale.ROOT)
         val content = e.attr("content")
         name match {
-          case "author"           => if (author.isEmpty) author = content
-          case "description"      => if (description.isEmpty) description = content
-          case "keywords"         => if (keywords.isEmpty) keywords = content
-          case "date"             => offerCreated(1, content)
-          case "dcterms.created"  => offerCreated(2, content)
-          case "dcterms.modified" => offerModified(2, content)
-          case _                  => ()
+          case "author"              => if (author.isEmpty) author = content
+          case "description"         => if (description.isEmpty) description = content
+          case "keywords"            => if (keywords.isEmpty) keywords = content
+          case "comments"            => if (comments.isEmpty) comments = content
+          case "revision"            => if (revision.isEmpty) revision = content
+          case "last-printed"        => if (lastPrinted.isEmpty) lastPrinted = content
+          case "date"                => created.offer(1, content)
+          case "dcterms.created"     => created.offer(2, content)
+          case "dcterms.modified"    => modified.offer(2, content)
+          case "subject"             => subject.offer(0, content)
+          case "dcterms.subject"     => subject.offer(1, content)
+          case "category"            => category.offer(1, content)
+          case "last-modified-by"    => lastModifiedBy.offer(0, content)
+          case "dcterms.contributor" => lastModifiedBy.offer(1, content)
+          case _                     => ()
         }
         prop match {
-          case "article:published_time" => offerCreated(0, content)
-          case "article:modified_time"  => offerModified(0, content)
+          case "article:published_time" => created.offer(0, content)
+          case "article:modified_time"  => modified.offer(0, content)
+          case "article:section"        => category.offer(0, content)
           case _                        => ()
         }
-        if (equiv == "last-modified") offerModified(1, content)
+        if (equiv == "last-modified") modified.offer(1, content)
       }
     }
     DocMeta(title, author, description, keywords,
       htmlEl.map(_.attr("lang")).getOrElse(""), 0,
-      createdDate = created, modifiedDate = modified)
+      createdDate = created.v, modifiedDate = modified.v,
+      subject = subject.v, comments = comments, category = category.v,
+      lastModifiedBy = lastModifiedBy.v, revision = revision,
+      lastPrinted = lastPrinted)
   }
 
   /** Structural-landmark tags present in the body, deduplicated, joined

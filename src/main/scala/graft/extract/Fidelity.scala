@@ -109,10 +109,15 @@ object Fidelity {
   /** M2 analog: metadata prepended as an HTML comment block
     * (metadata_extractor.py:334-380 structure, our document fields).
     * Section order mirrors the reference's four format_* passes (:371-375):
-    * document fields, then dates (`Created Date:`/`Last Modified:` like
-    * :459-462, plus `Crawl Date:` — the always-available web-corpus file
-    * date), then file info (`File Size: X.XX MB`, :503-505 — X23 formatMb
-    * wired), then structure (page count + `Layout Types:` like :549-550).
+    * document fields in the reference's field order (:412-430 — Title,
+    * Author, Subject, Keywords, Category, `Document Comments:`, Language;
+    * our HTML-specific Description slots before Keywords), then dates
+    * (`Created Date:`/`Last Modified:`/`Last Modified By:`/`Last Printed:`
+    * like :459-467, plus `Crawl Date:` — the always-available web-corpus
+    * file date), then file info (`File Size: X.XX MB`, :503-505 — X23
+    * formatMb wired), then structure (page count + `Layout Types:` like
+    * :549-550). Revision is extracted into DocMeta but not rendered — the
+    * reference extracts it (:216-219) without a format_* line.
     * Deterministic; only non-empty fields are emitted. */
   def metadataComment(meta: DocMeta, sizeBytes: Long = -1L): String = {
     val sb = new StringBuilder("\n<!-- DOCUMENT METADATA:\n")
@@ -120,11 +125,16 @@ object Fidelity {
       if (v != null && v.nonEmpty) sb.append(s"$k: $v\n")
     add("Title", meta.title)
     add("Author", meta.author)
+    add("Subject", meta.subject)
     add("Description", meta.description)
     add("Keywords", meta.keywords)
+    add("Category", meta.category)
+    add("Document Comments", meta.comments)
     add("Language", meta.htmlLang)
     add("Created Date", meta.createdDate)
     add("Last Modified", meta.modifiedDate)
+    add("Last Modified By", meta.lastModifiedBy)
+    add("Last Printed", meta.lastPrinted)
     add("Crawl Date", meta.crawlDate)
     if (sizeBytes >= 0)
       sb.append("File Size: ")

@@ -76,10 +76,16 @@ object TwoPass {
       extracted.select(col("url"),
           col("meta.title").as("title"),
           col("meta.author").as("author"),
+          col("meta.subject").as("subject"),
           col("meta.keywords").as("keywords"),
+          col("meta.category").as("category"),
+          col("meta.comments").as("comments"),
           col("meta.page_count").as("page_count"),
           col("meta.created_date").as("created_date"),
           col("meta.modified_date").as("modified_date"),
+          col("meta.last_modified_by").as("last_modified_by"),
+          col("meta.revision").as("revision"),
+          col("meta.last_printed").as("last_printed"),
           col("meta.crawl_date").as("crawl_date"),
           col("meta.layout_types").as("layout_types"))
         .withColumn("completeness",

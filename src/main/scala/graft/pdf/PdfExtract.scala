@@ -91,12 +91,16 @@ object PdfExtract {
       val meta = DocMeta(
         title = info.getOrElse("Title", ""),
         author = info.getOrElse("Author", ""),
-        description = info.getOrElse("Subject", ""),
+        description = "",
         keywords = info.getOrElse("Keywords", ""),
         htmlLang = "",
         pageCount = pages.size,
         createdDate = info.getOrElse("CreationDate", ""),
-        modifiedDate = info.getOrElse("ModDate", ""))
+        modifiedDate = info.getOrElse("ModDate", ""),
+        // round 4: /Subject maps to the dedicated subject field (was
+        // previously shoehorned into description before DocMeta grew the
+        // core-props breadth fields)
+        subject = info.getOrElse("Subject", ""))
       ExtractResult(sb.toString, spans.result(), Links.dedupKeepLongest(links.toSeq),
         meta, Vector.empty, null)
     } catch {

@@ -94,15 +94,27 @@ object PdfParser {
       case _       => 0.0
     }
 
+    private val infoKeys = Seq("Title", "Author", "Subject", "Keywords",
+      "CreationDate", "ModDate")
+
+    private def infoOf(inf: PDict): Map[String, String] =
+      infoKeys.flatMap { k =>
+        resolve(inf.get(k).getOrElse(PNull)) match {
+          case PStr(s) if s.nonEmpty => Some(k -> s)
+          case _                     => None
+        }
+      }.toMap
+
     /** Document information dictionary (trailer /Info -> Title/Author/
       * Subject/Keywords), the M1 metadata source for PDFs. The LAST
       * trailer wins (incremental-update semantics).
       *
-      * Limitation (ADVICE r2): lookup byte-scans for the literal `trailer`
-      * keyword, so PDF 1.5+ files that use cross-reference STREAMS (no
-      * trailer keyword) silently yield empty metadata — body text still
-      * extracts. Fine for the synthetic corpus (classic xref only); a real
-      * xref-stream fallback would scan objects for a dict carrying /Title. */
+      * PDF 1.5+ files that use cross-reference STREAMS carry no `trailer`
+      * keyword (the trailer dict is folded into the xref stream object) —
+      * for those, fall back to scanning indirect objects for a dict shaped
+      * like /Info: at least one info key and none of the structural keys
+      * that pages/outlines/annots carry (round 4; closes the ADVICE r2
+      * limitation where such files silently yielded empty metadata). */
     def info(): Map[String, String] = {
       var idx = -1
       var i = 0
@@ -113,24 +125,31 @@ object PdfParser {
           bytes(i + 6) == 'r') idx = i
         i += 1
       }
-      if (idx < 0) return Map.empty
+      if (idx < 0) return infoFallback()
       try {
         val lex = new Lexer(bytes, idx + 7)
         lex.readValue(this) match {
           case d: PDict =>
             resolve(d.get("Info").getOrElse(PNull)) match {
-              case inf: PDict =>
-                Seq("Title", "Author", "Subject", "Keywords",
-                  "CreationDate", "ModDate").flatMap { k =>
-                  resolve(inf.get(k).getOrElse(PNull)) match {
-                    case PStr(s) if s.nonEmpty => Some(k -> s)
-                    case _                     => None
-                  }
-                }.toMap
-              case _ => Map.empty
+              case inf: PDict => infoOf(inf)
+              case _          => Map.empty
             }
           case _ => Map.empty
         }
+      } catch { case _: Throwable => Map.empty }
+    }
+
+    /** Xref-stream fallback: lowest-numbered indirect object whose dict
+      * carries at least one info key and no structural key. Applied ONLY
+      * when no `trailer` keyword exists — a classic file with a genuinely
+      * absent /Info must keep yielding empty metadata, not a guess. */
+    private def infoFallback(): Map[String, String] = {
+      val structural = Set("Type", "Parent", "Kids", "Contents", "Dest", "A")
+      try {
+        offsets.keys.toVector.sorted.iterator.map(obj).collectFirst {
+          case d: PDict if infoKeys.exists(k => d.get(k).isDefined) &&
+              !structural.exists(k => d.get(k).isDefined) => infoOf(d)
+        }.getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
     }
 

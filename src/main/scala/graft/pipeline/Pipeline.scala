@@ -76,10 +76,15 @@ object Pipeline {
         col("r.spans").as("spans"),
         col("r.links").as("links"),
         struct(col("r.title").as("title"), col("r.author").as("author"),
+          col("r.subject").as("subject"),
           col("r.description").as("description"), col("r.keywords").as("keywords"),
+          col("r.category").as("category"), col("r.comments").as("comments"),
           col("r.html_lang").as("html_lang"), col("r.page_count").as("page_count"),
           col("r.created_date").as("created_date"),
           col("r.modified_date").as("modified_date"),
+          col("r.last_modified_by").as("last_modified_by"),
+          col("r.revision").as("revision"),
+          col("r.last_printed").as("last_printed"),
           col("r.crawl_date").as("crawl_date"),
           col("r.layout_types").as("layout_types")
         ).as("meta"),

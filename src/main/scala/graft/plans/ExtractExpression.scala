@@ -129,12 +129,15 @@ object ExtractDoc {
     i("page_count"),
     s("created_date"), s("modified_date"), s("crawl_date"), s("layout_types"),
     StructField("scores", ArrayType(scoreType, containsNull = false), nullable = false),
-    StructField("error", StringType, nullable = true)))
+    StructField("error", StringType, nullable = true),
+    // round-4 M1 breadth fields (appended to keep earlier ordinals stable)
+    s("subject"), s("comments"), s("category"),
+    s("last_modified_by"), s("revision"), s("last_printed")))
 
   /** ExtractResult -> InternalRow, written directly (no encoder). */
   def toRow(r: graft.model.ExtractResult): GenericInternalRow = {
     def u(x: String) = UTF8String.fromString(if (x == null) "" else x)
-    val row = new GenericInternalRow(15)
+    val row = new GenericInternalRow(21)
     row.update(0, u(r.extractedText))
     row.update(1, new GenericArrayData(r.spans.map { sp =>
       val x = new GenericInternalRow(3)
@@ -157,6 +160,9 @@ object ExtractDoc {
       x.setInt(7, sc.contentCount); x
     }.toArray[Any]))
     row.update(14, if (r.error == null) null else u(r.error))
+    row.update(15, u(r.meta.subject)); row.update(16, u(r.meta.comments))
+    row.update(17, u(r.meta.category)); row.update(18, u(r.meta.lastModifiedBy))
+    row.update(19, u(r.meta.revision)); row.update(20, u(r.meta.lastPrinted))
     row
   }
 

@@ -97,6 +97,32 @@ object Synth {
       html.append(s"""<meta name="date" content="2019-1${docId % 2}-0${docId % 9 + 1}">""")
     if (variant0 % 4 == 2)
       html.append(s"""<meta http-equiv="last-modified" content="2022-0${docId % 9 + 1}-2${docId % 10} 18:0${docId % 10}:00">""")
+    // core-props breadth metas (M1, round 4): subject/category/comments/
+    // last-modified-by/revision/last-printed analogs, all VERBATIM. Variants
+    // carrying BOTH sources of a field pin the precedence in the goldens
+    // (name=subject > dcterms.subject; article:section > name=category;
+    // last-modified-by > dcterms.contributor).
+    if (variant0 % 3 == 0) {
+      html.append(s"""<meta name="subject" content="${esc(take(3, 7))} study">""")
+      if (variant0 % 6 == 0)
+        html.append(s"""<meta name="dcterms.subject" content="ignored dc subject $docId">""")
+    }
+    if (variant0 % 3 == 1) {
+      html.append(s"""<meta property="article:section" content="section-${docId % 12}">""")
+      if (variant0 % 6 == 1)
+        html.append(s"""<meta name="category" content="ignored category $docId">""")
+    }
+    if (variant0 % 4 == 1)
+      html.append(s"""<meta name="comments" content="${esc(take(5, 9))}">""")
+    if (variant0 % 4 == 2) {
+      html.append(s"""<meta name="last-modified-by" content="Editor ${docId % 13}">""")
+      if (variant0 % 8 == 2)
+        html.append(s"""<meta name="dcterms.contributor" content="ignored contributor $docId">""")
+    }
+    if (variant0 % 2 == 1)
+      html.append(s"""<meta name="revision" content="${docId % 7 + 1}">""")
+    if (variant0 % 9 == 5)
+      html.append(s"""<meta name="last-printed" content="2020-0${docId % 9 + 1}-15 10:30:00">""")
     html.append("</head><body>\n")
     // boilerplate: nav + cookie banner (must be stripped)
     html.append("""<nav class="topnav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>""")

@@ -470,6 +470,40 @@ class KernelSpec extends AnyFunSuite {
     assert(m4.modifiedDate == "")
   }
 
+  test("core-props breadth metadata: precedence and verbatim passthrough (M1, round 4)") {
+    def metaOf(head: String): DocMeta = {
+      val dom = HtmlParser.parse(s"<html><head>$head</head><body><p>hello world body</p></body></html>")
+      Extractor.extractHtml(dom, "").meta
+    }
+    // subject: name=subject beats dcterms.subject, either alone works
+    val s1 = metaOf("""<meta name="dcterms.subject" content="dc subj">""" +
+      """<meta name="subject" content="plain subj">""")
+    assert(s1.subject == "plain subj")
+    assert(metaOf("""<meta name="dcterms.subject" content="dc subj">""").subject == "dc subj")
+    // category: article:section beats name=category
+    val c1 = metaOf("""<meta name="category" content="cat-meta">""" +
+      """<meta property="article:section" content="Tech">""")
+    assert(c1.category == "Tech")
+    assert(metaOf("""<meta name="category" content="cat-meta">""").category == "cat-meta")
+    // last_modified_by: last-modified-by beats dcterms.contributor
+    val l1 = metaOf("""<meta name="dcterms.contributor" content="Contrib">""" +
+      """<meta name="last-modified-by" content="Editor X">""")
+    assert(l1.lastModifiedBy == "Editor X")
+    assert(metaOf("""<meta name="dcterms.contributor" content="Contrib">""").lastModifiedBy == "Contrib")
+    // single-source fields, verbatim (incl. non-numeric revision — the
+    // reference preserves original data types / strings)
+    val m = metaOf("""<meta name="comments" content="a doc comment">""" +
+      """<meta name="revision" content="v2-draft">""" +
+      """<meta name="last-printed" content="2020-05-15 10:30:00">""")
+    assert(m.comments == "a doc comment")
+    assert(m.revision == "v2-draft")
+    assert(m.lastPrinted == "2020-05-15 10:30:00")
+    // absent => all empty
+    val none = metaOf("")
+    assert(none.subject == "" && none.comments == "" && none.category == "" &&
+      none.lastModifiedBy == "" && none.revision == "" && none.lastPrinted == "")
+  }
+
   test("crawl date: warc_ts micros formatted like Python str(datetime), absent when unset") {
     assert(Fidelity.formatEpochUs(1700000000000000L) == "2023-11-14 22:13:20")
     val dom = HtmlParser.parse("<html><body><p>hello world body</p></body></html>")
@@ -492,6 +526,18 @@ class KernelSpec extends AnyFunSuite {
     assert(c == "\n<!-- DOCUMENT METADATA:\nTitle: T\nAuthor: A\nLanguage: en\n" +
       "Created Date: 2021-01-01\nLast Modified: 2022-02-02\nCrawl Date: 2023-03-03 00:00:00\n" +
       "File Size: 1.00 MB\nPages: 2\nLayout Types: nav, main\n-->\n")
+    // breadth fields slot in reference order (:412-430 doc section,
+    // :459-467 date section); revision is extracted but never rendered
+    val full = meta.copy(subject = "S", category = "C", comments = "DC",
+      lastModifiedBy = "LMB", lastPrinted = "2020-05-15 10:30:00", revision = "9")
+    val c2 = Fidelity.metadataComment(full, 1048576L)
+    assert(c2 == "\n<!-- DOCUMENT METADATA:\nTitle: T\nAuthor: A\nSubject: S\n" +
+      "Category: C\nDocument Comments: DC\nLanguage: en\n" +
+      "Created Date: 2021-01-01\nLast Modified: 2022-02-02\n" +
+      "Last Modified By: LMB\nLast Printed: 2020-05-15 10:30:00\n" +
+      "Crawl Date: 2023-03-03 00:00:00\n" +
+      "File Size: 1.00 MB\nPages: 2\nLayout Types: nav, main\n-->\n")
+    assert(!c2.contains("9"))
   }
 
   test("pyFormat1f: Python round-half-even (ADVICE r2)") {

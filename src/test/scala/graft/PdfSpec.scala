@@ -123,4 +123,39 @@ class PdfSpec extends AnyFunSuite {
     val r2 = graft.pdf.PdfExtract.extract(bare, "")
     assert(r2.error == null && r2.meta.title == "" && r2.meta.author == "")
   }
+
+  test("xref-stream PDFs (no trailer keyword) recover /Info via the object-scan fallback") {
+    // PDF 1.5+ cross-reference-stream shape: the trailer dict is folded into
+    // the xref stream object, so no `trailer` keyword exists anywhere.
+    // Body text must still extract AND metadata must now be recovered
+    // (VERDICT r3 #6 / ADVICE r2 — previously silently empty).
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj\n<< /Title (Xref Stream Doc) /Author (XS Author) " +
+      "/CreationDate (D:20240102030405Z) >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n" +
+      "4 0 obj\n<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 5 0 R >>\nendobj\n" +
+      "5 0 obj\n<< /Length 60 >>\nstream\n" +
+      "BT /F1 12 Tf 72 700 Td (xref stream body text) Tj ET\n" +
+      "endstream\nendobj\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(!new String(pdf, "ISO-8859-1").contains("trailer"))
+    val doc = new PdfParser.Doc(pdf)
+    val info = doc.info()
+    assert(info.get("Title").contains("Xref Stream Doc"), info)
+    assert(info.get("Author").contains("XS Author"))
+    assert(info.get("CreationDate").contains("D:20240102030405Z"))
+    // end-to-end through the extractor: metadata + body both present
+    val r = Extractor.extract(pdf, "")
+    assert(r.error == null)
+    assert(r.meta.title == "Xref Stream Doc")
+    assert(r.meta.createdDate == "D:20240102030405Z")
+    assert(r.extractedText.contains("xref stream body text"))
+    // guard: a classic-trailer file with NO /Info must stay empty (the
+    // fallback must not guess when a trailer exists)
+    val bare = graft.pdf.PdfGen.build(Seq(
+      graft.pdf.PdfGen.PdfPage(Seq((72.0, 700.0, "hello world")), Nil)))
+    assert(new PdfParser.Doc(bare).info().isEmpty)
+  }
 }
