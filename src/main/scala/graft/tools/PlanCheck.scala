@@ -21,7 +21,7 @@ object PlanCheck {
       "x_extract", "x_links", "q_agg", "q_join_collect", "q_forward_fill",
       "q_topk", "q_topk_custom", "dd_minhash_lsh", "dd_exact",
       "dd_embed_neardup", "ann_topk", "ann_ivf", "ta_langid",
-      "q_time_window", "q_asof_join")
+      "q_time_window", "q_asof_join", "ta_sample", "dd_simhash")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of headline queries (local mode)\n\n")
@@ -47,8 +47,11 @@ object PlanCheck {
             plan.contains("graft_extract_doc"))
           check("no Exchange before the extraction Project",
             !plan.split("Exchange").head.contains("graft_extract_doc"))
-          check("scan reads only doc_id/text/lang",
-            plan.contains("ReadSchema") && !plan.contains("n_chars"))
+          // round 4: the scan is the DSv2 connector; pruning must drop the
+          // unused lang column from the required set
+          check("connector scan prunes to url,warc_ts,html,text (lang dropped)",
+            plan.contains("GraftPagesScan") &&
+              plan.contains("required=url,warc_ts,html,text"))
         case "q_agg" =>
           check("partial HashAggregate present", plan.contains("HashAggregate"))
         case "q_join_collect" =>
@@ -81,6 +84,21 @@ object PlanCheck {
             "\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
           check("no join operator at all (as-of composed via window)",
             !plan.contains("Join"))
+        case "ta_sample" =>
+          // VERDICT r3 #2: stratification counts must NOT run through a
+          // count(*) over (partition by lang, split) window — ~8 partitions
+          // would each funnel a whole language through one task
+          check("no low-cardinality Window (groupBy + broadcast join back)",
+            !plan.contains("Window") && plan.contains("BroadcastHashJoin"))
+          check("partial->final HashAggregate for the counts",
+            plan.contains("HashAggregate"))
+        case "dd_simhash" =>
+          // VERDICT r3 #3: the 64 per-bit HOF folds are fused into one
+          // native expression evaluated once per row
+          check("fused graft_simhash64 expression planned",
+            plan.contains("graft_simhash64"))
+          check("no interpreted per-bit aggregate() folds",
+            !plan.contains("aggregate(hashes"))
         case "q_topk_custom" =>
           check("custom TopKPerKey exec planned", plan.contains("TopKPerKey"))
           // the only Sort allowed is the final deterministic output orderBy
@@ -89,6 +107,27 @@ object PlanCheck {
             "\\(\\d+\\) Sort".r.findAllIn(plan).size <= 1)
         case _ => ()
       }
+      md.append("\n")
+    }
+    // Round 4 (VERDICT r3 #5): Pipeline.pages is the DSv2 connector, so the
+    // sampled hot-domain pre-pass must read urls WITHOUT synthesizing page
+    // bodies — the scan's required column set shows the pruning.
+    locally {
+      import org.apache.spark.sql.functions._
+      val prePass = graft.pipeline.Pipeline.pages(spark, sfDir)
+        .filter(pmod(xxhash64(col("url")), lit(100)) === 0)
+        .select(graft.pipeline.Pipeline.domainOf.as("domain"))
+        .groupBy("domain").count()
+      val plan = prePass.queryExecution.executedPlan.toString
+      md.append("## hot-domain pre-pass (Pipeline.hotDomains sample scan)\n\n")
+      md.append(s"```\n$plan\n```\n\n")
+      def check(label: String, ok: Boolean): Unit = {
+        md.append(s"- ${if (ok) "PASS" else "FAIL"}: $label\n")
+        if (!ok) failures += 1
+      }
+      check("scan is the GraftPagesScan connector", plan.contains("GraftPagesScan"))
+      check("scan reads url only — no html/text body synthesis",
+        plan.contains("required=url") && !plan.contains("required=url,warc_ts,html"))
       md.append("\n")
     }
     md.append(s"\nAutomated checks failed: $failures\n")
