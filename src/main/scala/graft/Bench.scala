@@ -31,15 +31,19 @@ object Bench {
     * skews low-core throughput upward). Each child warms its own JIT.
     * Returns (docs, seconds of the child's best timed pass). */
   private def timeExtraction(cores: Int, sfDir: String, nTarget: Int): (Long, Double) = {
-    val (d, s, _) = timeExtraction3(cores, sfDir, nTarget); (d, s)
+    val (d, s, _) = runChild(cores, "graft.tools.ExtractBench",
+      Seq(cores.toString, sfDir, nTarget.toString))
+    (d, s)
   }
 
   /** Like timeExtraction, plus the BODY-ONLY pass seconds (the r1-shape
     * output without metadata comment/hyperlink/diagram sections) — the
-    * full-vs-body delta attributes output-section cost (VERDICT r2 #2). */
+    * full-vs-body delta attributes output-section cost (VERDICT r2 #2).
+    * Only this variant asks the child for the UDF A/B (7 extra corpus
+    * passes); the trial/roofline paths never consume bodysec. */
   private def timeExtraction3(cores: Int, sfDir: String, nTarget: Int): (Long, Double, Double) =
     runChild(cores, "graft.tools.ExtractBench",
-      Seq(cores.toString, sfDir, nTarget.toString))
+      Seq(cores.toString, sfDir, nTarget.toString, "withBody"))
 
   /** Pure-kernel roofline probe (no Spark) — see KernelRoofline scaladoc. */
   private def timeRoofline(cores: Int, seconds: Double): (Long, Double) = {

@@ -195,5 +195,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FixUrl.info, FixUrl.builder))
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       CosineSim.info, CosineSim.builder))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      Simhash64Fn.info, Simhash64Fn.builder))
   }
 }

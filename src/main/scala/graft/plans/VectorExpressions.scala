@@ -387,3 +387,19 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", builder, "built-in")
 }
+
+object Simhash64Fn {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[Simhash64].getName, null, "graft_simhash64",
+    "_FUNC_(hashes) - 64-bit SimHash of an ARRAY<BIGINT> of token hashes " +
+      "(single fused pass over all 64 bit counters).", "")
+
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_simhash64(hashes) takes 1 argument")
+    Simhash64(exprs.head)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", builder, "built-in")
+}

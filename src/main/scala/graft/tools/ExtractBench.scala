@@ -7,13 +7,17 @@ import org.apache.spark.sql.SparkSession
   * threads, codegen pools and Runtime.availableProcessors all match an
   * actual <cores>-core machine — the faithful stand-in for an N-core
   * executor. Spawned by graft.Bench; prints one RESULT line.
-  * Usage: ExtractBench <cores> <sfDir> <targetDocs>
+  * Usage: ExtractBench <cores> <sfDir> <targetDocs> [withBody]
+  * The body-split UDF A/B (7 extra corpus passes) runs ONLY when the 4th
+  * arg is "withBody" — pair-A/roofline trials never consume bodysec, and
+  * running the A/B there doubled the whole bench's wall time (round 4).
   */
 object ExtractBench {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val sfDir = args(1)
     val target = args(2).toInt
+    val withBody = args.length > 3 && args(3) == "withBody"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -34,6 +38,11 @@ object ExtractBench {
     }
     pass(); pass() // JIT warmup (this JVM is cold by design)
     val sec = (1 to 3).map(_ => pass()).min
+    if (!withBody) {
+      println(s"RESULT docs=$docs sec=$sec")
+      spark.stop()
+      return
+    }
     // Body-only split (VERDICT r2 #2): full-vs-bodyOnly delta = the cost of
     // the round-2 output sections (metadata comment, hyperlink section,
     // diagram report). ADVICE r3 fix: both sides of the A/B now run through
