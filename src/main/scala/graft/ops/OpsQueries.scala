@@ -45,12 +45,35 @@ object OpsQueries {
     bitCols.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** word k-shingles of the token array (whole text if shorter than k). */
-  private def shingles(tokens: Column, k: Int): Column =
-    when(size(tokens) >= k,
-      transform(sequence(lit(1), size(tokens) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*)))
-      .otherwise(array(concat_ws(" ", tokens)))
+  /** All nHashes MinHash signature values as one fused per-row expression
+    * (see plans/MinhashSigs — no shingle explode, no min-agg shuffle). */
+  private[graft] def minhashFused(tokens: Column, k: Int, nHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.plans.MinhashSigs(
+      GraftBridge.expression(tokens), k, nHashes))
+  }
+
+  /** Pure-Column reference formulation of the SAME minhash math, built
+    * from Spark's own xxhash64 (equality-test reference only — per-row
+    * interpreted HOFs + intermediate arrays; never the production path).
+    * Shingle hash = xxhash64 over the k token hashes (hash chain); family
+    * member j = xxhash64(shingleHash, j); short docs contribute one
+    * shingle over all tokens; empty docs yield Long.MaxValue sentinels. */
+  private[graft] def minhashRef(tokens: Column, k: Int, nHashes: Int): Column = {
+    val th = transform(tokens, t => xxhash64(t))
+    val shingleHashes =
+      when(size(th) >= k,
+        transform(sequence(lit(1), size(th) - (k - 1)),
+          i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*)))
+        .when(size(th) === 2, array(xxhash64(element_at(th, 1), element_at(th, 2))))
+        .when(size(th) === 1, array(xxhash64(element_at(th, 1))))
+        .otherwise(array().cast("array<bigint>"))
+    array((0 until nHashes).map { j =>
+      coalesce(
+        array_min(transform(shingleHashes, sh => xxhash64(sh, lit(j.toLong)))),
+        lit(Long.MaxValue))
+    }: _*)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -94,32 +117,26 @@ object OpsQueries {
     // 16 minhashes over 3-gram shingles, 4 bands x 4 rows; candidate pairs =
     // docs sharing a band bucket. The 100 TB plan: shuffle keyed on
     // (band, bucket) only — no all-pairs stage ever materializes.
+    // Round 4: the whole signature is ONE fused per-row expression
+    // (plans/MinhashSigs — token hashes, rolling shingle hash chain, and
+    // all 16 seed-derived minimums in a single pass). This removes the
+    // shingle explode (~tokens-per-doc row blow-up), the 16-way min
+    // aggregation machinery, AND the doc_id Exchange — the query's first
+    // shuffle is now the slim (band, bucket) self-join. Hash math pinned
+    // against a pure-Column xxhash64 reference in SparkJobsSpec; history:
+    // r3 already hashed each shingle string once (14.3s -> 2.1s), r4 drops
+    // the per-shingle rows entirely (~0.9s -> ~0.3s warm at sf0.1).
     "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       val nHashes = 16
       val bandRows = 4
-      // explode shingles once; the 16 minhashes are min() aggregates with
-      // map-side partial combine — one shuffle keyed on doc_id.
-      // IMPORTANT: tokens are materialized through a projection boundary
-      // first — inlining `toks(col)` into shingles() makes Catalyst
-      // re-evaluate the split per element_at (O(words^2), measured 14s vs
-      // <1s on sf0.1)
-      val exploded = docs(s, dir)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"), explode(shingles(col("t"), 3)).as("sh"))
-      // each shingle STRING is hashed once; the 16-hash family is derived
-      // by re-hashing that 8-byte LONG with seeds 0..15 (universal-family
-      // trick) — round-3 fix: hashing the ~20-char string 16x per shingle
-      // was the dominant cost of the whole query (14.3s -> ~8s at sf0.1)
-      val hashed = exploded.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      val withSig = hashed.groupBy(col("doc_id")).agg(
-        min(xxhash64(col("h"), lit(0))).as("h0"),
-        (1 until nHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"h$j")): _*)
-      val bands = withSig.select(
+      val sigs = docs(s, dir)
+        .select(col("doc_id"), minhashFused(toks(col("text")), 3, nHashes).as("sigs"))
+      val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until nHashes / bandRows).map { b =>
           struct(lit(b).as("band"),
-            xxhash64((0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
-              .as("bucket"))
+            xxhash64((0 until bandRows).map(r =>
+              element_at(col("sigs"), b * bandRows + r + 1)): _*).as("bucket"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val x = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))

@@ -33,6 +33,39 @@ object DbgSimhashAB {
     }
     time("fused graft_simhash64", graft.OpsQueries.simhashFused(col("hashes")))
     time("64x aggregate() HOF  ", graft.OpsQueries.simhashHof(col("hashes")))
+
+    // ---- minhash signature stage A/B (round 4): fused per-row expression
+    // vs the r3 explode(shingles) -> min-aggs -> doc_id shuffle plan,
+    // measured to the same materialization (sum of sig[1] per doc).
+    // CONSERVATIVE: the r3 reconstruction computes only 1 of the 16
+    // min-aggregates, so the real old cost is higher than printed.
+    val toksCol = filter(split(col("text"), " "), x => length(x) > 0)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), toksCol.as("t")).cache()
+    d.count()
+    def timeJob(label: String)(f: => Unit): Unit = {
+      def pass(): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      pass()
+      println(f"$label: ${(1 to 3).map(_ => pass()).min}%.3f sec (best of 3 warm)")
+    }
+    timeJob("fused graft_minhash_sigs   ") {
+      d.select(pmod(element_at(
+          graft.OpsQueries.minhashFused(col("t"), 3, 16), 1), lit(1000000007L)).as("s"))
+        .agg(sum(col("s"))).collect()
+    }
+    timeJob("r3 explode+minagg signature") {
+      val sh = when(size(col("t")) >= 3,
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .otherwise(array(concat_ws(" ", col("t"))))
+      d.select(col("doc_id"), explode(sh).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(min(xxhash64(col("h"), lit(0))).as("h0"))
+        .select(pmod(col("h0"), lit(1000000007L)).as("s"))
+        .agg(sum(col("s"))).collect()
+    }
     spark.stop()
   }
 }

@@ -63,6 +63,16 @@ object PlanCheck {
             exchanges <= 2 && plan.contains("Window"))
         case "dd_exact" =>
           check("hash aggregate (not sort-based)", plan.contains("HashAggregate"))
+        case "dd_minhash_lsh" =>
+          // round 4: signatures are one fused per-row expression — no
+          // shingle explode / min-agg / doc_id Exchange before the join
+          check("fused graft_minhash_sigs expression planned",
+            plan.contains("graft_minhash_sigs"))
+          // the only aggregates left are the pair distinct (no functions);
+          // the r3 plan carried 16 min() signature aggregates + a doc_id
+          // Exchange — min() anywhere means the fusion regressed
+          check("no min() signature aggregation anywhere (map-only signatures)",
+            !plan.contains("min("))
         case "dd_embed_neardup" =>
           check("no all-pairs BroadcastNestedLoopJoin",
             !plan.contains("BroadcastNestedLoopJoin"))

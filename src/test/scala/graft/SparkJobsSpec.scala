@@ -514,6 +514,31 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     both.unpersist()
   }
 
+  test("fused graft_minhash_sigs equals the pure-Column xxhash64 reference formulation") {
+    val sp = spark
+    import sp.implicits._
+    val toks = filter(split(col("text"), " "), x => length(x) > 0)
+    // real corpus docs + the short/empty edge cases the kernel must define
+    val edge = Seq((100001L, "one"), (100002L, "two words"),
+      (100003L, ""), (100004L, "   "), (100005L, "exactly three tokens"))
+      .toDF("doc_id", "text")
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionAll(edge)
+      .select(col("doc_id"), toks.as("t"))
+    val both = d.select(col("doc_id"),
+      OpsQueries.minhashFused(col("t"), 3, 16).as("f"),
+      OpsQueries.minhashRef(col("t"), 3, 16).as("r")).cache()
+    assert(both.count() == 505)
+    val diff = both.filter(not(col("f") === col("r")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // empty docs carry the Long.MaxValue sentinel in every position
+    val empty = both.filter(col("doc_id") >= 100003L && col("doc_id") <= 100004L)
+      .select(col("f")).collect()
+    assert(empty.length == 2 &&
+      empty.forall(_.getSeq[Long](0).forall(_ == Long.MaxValue)))
+    both.unpersist()
+  }
+
   test("HyperplaneSigs min-length semantics pinned against the unfused formulation on truncated embeddings") {
     // ADVICE r3: length-mismatched embeddings use min-length partial dots —
     // the same semantics as the DotProduct-based unfused bandSig. Pin the
