@@ -53,24 +53,31 @@ object OpsQueries {
       GraftBridge.expression(tokens), k, nHashes))
   }
 
+  /** k-gram shingle hashes of a TOKEN-HASH array as a Column — the same
+    * hash-chain math as plans/MinhashSigs (shingle hash = xxhash64 over
+    * the k token hashes; short docs contribute one shingle over all
+    * tokens; empty docs an empty array). `th` must be a MATERIALIZED
+    * column of xxhash64(token) values (HOF-inlining a derived array makes
+    * Catalyst re-evaluate it per element). */
+  private[graft] def shingleHashes(th: Column, k: Int): Column =
+    when(size(th) >= k,
+      transform(sequence(lit(1), size(th) - (k - 1)),
+        i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*)))
+      .when(size(th) === 2, array(xxhash64(element_at(th, 1), element_at(th, 2))))
+      .when(size(th) === 1, array(xxhash64(element_at(th, 1))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Pure-Column reference formulation of the SAME minhash math, built
     * from Spark's own xxhash64 (equality-test reference only — per-row
     * interpreted HOFs + intermediate arrays; never the production path).
-    * Shingle hash = xxhash64 over the k token hashes (hash chain); family
-    * member j = xxhash64(shingleHash, j); short docs contribute one
-    * shingle over all tokens; empty docs yield Long.MaxValue sentinels. */
+    * Family member j = xxhash64(shingleHash, j); empty docs yield
+    * Long.MaxValue sentinels. */
   private[graft] def minhashRef(tokens: Column, k: Int, nHashes: Int): Column = {
     val th = transform(tokens, t => xxhash64(t))
-    val shingleHashes =
-      when(size(th) >= k,
-        transform(sequence(lit(1), size(th) - (k - 1)),
-          i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*)))
-        .when(size(th) === 2, array(xxhash64(element_at(th, 1), element_at(th, 2))))
-        .when(size(th) === 1, array(xxhash64(element_at(th, 1))))
-        .otherwise(array().cast("array<bigint>"))
+    val sh = shingleHashes(th, k)
     array((0 until nHashes).map { j =>
       coalesce(
-        array_min(transform(shingleHashes, sh => xxhash64(sh, lit(j.toLong)))),
+        array_min(transform(sh, x => xxhash64(x, lit(j.toLong)))),
         lit(Long.MaxValue))
     }: _*)
   }
@@ -144,6 +151,50 @@ object OpsQueries {
       x.join(y, Seq("band", "bucket"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- exact Jaccard on LSH candidates (THE scale path dd_jaccard only
+    // oracles): candidate pairs come from the fused-minhash band join
+    // (whole corpus, no doc_id cap), then the EXACT 3-gram shingle Jaccard
+    // re-ranks them — shingle sets ship as distinct 8-byte hashes and join
+    // BY ID only for candidate pairs, the same slim-candidates-then-rerank
+    // discipline as dd_embed_neardup. No all-pairs stage at any scale.
+    // Rows-only (engine-hash); gated in SparkJobsSpec: planted twins
+    // surface with jaccard >= 0.9, and values equal an independent
+    // shingle-STRING-set recomputation. ------------------------------------
+    "dd_jaccard_lsh" -> ((s: SparkSession, dir: String) => {
+      val nHashes = 16
+      val bandRows = 4
+      val base = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+      val sigs = base
+        .select(col("doc_id"), minhashFused(col("t"), 3, nHashes).as("sigs"))
+      val bands = sigs.select(
+        col("doc_id"),
+        explode(array((0 until nHashes / bandRows).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until bandRows).map(r =>
+              element_at(col("sigs"), b * bandRows + r + 1)): _*).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+        .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+          Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val shsets = base
+        .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
+        .select(col("doc_id"),
+          array_distinct(shingleHashes(col("th"), 3)).as("shset"))
+      cand
+        .join(shsets.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+        .join(shsets.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        .filter(col("uni") > 0)
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy("a_id", "b_id")
     }),
 

@@ -413,6 +413,30 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     planted.foreach(id => assert(pairs.contains((id, id + 100000L)),
       s"dd_minhash_lsh missed planted twin pair ($id, ${id + 100000L})"))
 
+    // dd_jaccard_lsh gate (round 4 — the scale path for exact Jaccard):
+    // every planted pair must surface from the LSH candidates with its
+    // EXACT 3-gram shingle Jaccard, and the value must equal an
+    // INDEPENDENT string-shingle-set recomputation (the query works over
+    // distinct shingle hashes; equality also certifies no collision)
+    val jl = SparkEntry.queries("dd_jaccard_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val textOf = base.unionAll(twins)
+      .filter(col("doc_id").isin((planted ++ planted.map(_ + 100000L)).toSeq.map(Long.box): _*))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shset(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      if (w.isEmpty) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    planted.foreach { id =>
+      val j = jl.get((id, id + 100000L))
+      assert(j.isDefined && j.get >= 0.9,
+        s"dd_jaccard_lsh missed/underrated planted pair ($id): $j")
+      val a = shset(textOf(id)); val b = shset(textOf(id + 100000L))
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(j.get - exact) <= 5e-5,
+        s"dd_jaccard_lsh($id) = ${j.get}, independent exact = $exact")
+    }
+
     // simhash gate: twins stay within hamming distance 3 and (pigeonhole at
     // <=3 flipped bits over 4 bands) share at least one 16-bit band bucket
     val sh = SparkEntry.queries("dd_simhash")(spark, dir).collect()
