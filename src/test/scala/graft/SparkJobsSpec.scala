@@ -302,6 +302,18 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.nonEmpty)
   }
 
+  test("pages connector sub-slices seed row groups for kernel parallelism") {
+    val dir = "/root/testdata/sf0.001"
+    // 500 seed rows at the 256-row default => 2 input partitions (round 4:
+    // a single partition made small-corpus extraction single-threaded)
+    val n = Pipeline.pages(spark, dir).rdd.getNumPartitions
+    assert(n == 2, s"expected 2 slices for 500 rows @256, got $n")
+    val n2 = spark.read.format("graft.sources.PagesDataSource")
+      .option("path", dir).option("sliceRows", "100").load()
+      .rdd.getNumPartitions
+    assert(n2 == 5, s"expected 5 slices for 500 rows @100, got $n2")
+  }
+
   test("pages round-trip through csv/json sources; links csv sink (S10)") {
     val p = pages.limit(50).cache()
     val csvDir = tmp() + "/pages_csv"
