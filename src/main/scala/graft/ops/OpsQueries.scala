@@ -100,7 +100,8 @@ object OpsQueries {
     // is quadratic on hot tokens by construction. This query exists ONLY as
     // the exact-math oracle baseline for the MinHash-LSH scale path; it is
     // never the plan at scale — at scale Jaccard runs on LSH candidate
-    // pairs only (see dd_minhash_lsh).
+    // pairs only, which is exactly what dd_jaccard_lsh implements
+    // (whole corpus, no id cap).
     "dd_jaccard" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), array_distinct(toks(col("text"))).as("tset"))
@@ -136,8 +137,15 @@ object OpsQueries {
     "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       val nHashes = 16
       val bandRows = 4
+      // token-less docs are dropped BEFORE banding: they all carry the
+      // identical sentinel signature, so at corpus scale they would pile
+      // into one quadratic band bucket (the r3 empty-string-shingle
+      // formulation had the same hazard). Empty-doc dedup belongs to
+      // dd_exact, where it is a single hash group.
       val sigs = docs(s, dir)
-        .select(col("doc_id"), minhashFused(toks(col("text")), 3, nHashes).as("sigs"))
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), minhashFused(col("t"), 3, nHashes).as("sigs"))
       val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until nHashes / bandRows).map { b =>
@@ -166,7 +174,10 @@ object OpsQueries {
     "dd_jaccard_lsh" -> ((s: SparkSession, dir: String) => {
       val nHashes = 16
       val bandRows = 4
+      // same empty-doc pre-filter as dd_minhash_lsh (sentinel-signature
+      // bucket pile-up; empty docs are dd_exact's job)
       val base = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
       val sigs = base
         .select(col("doc_id"), minhashFused(col("t"), 3, nHashes).as("sigs"))
       val bands = sigs.select(

@@ -3,10 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** A/B timing for the round-4 simhash fusion (VERDICT r3 #3): the fused
+/** A/B timings for the round-4 hash-kernel fusions: (1) the fused
   * graft_simhash64 expression vs the 64 interpreted aggregate() HOF folds
-  * it replaced, same input, warm passes. Equality is pinned in
-  * SparkJobsSpec; this measures the per-row win. */
+  * it replaced; (2) the fused graft_minhash_sigs signature stage vs the
+  * r3 explode(shingles) -> min-agg -> doc_id-shuffle plan. Same input,
+  * warm passes. Equality is pinned in SparkJobsSpec; this measures the
+  * per-row / per-stage wins. */
 object DbgSimhashAB {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
