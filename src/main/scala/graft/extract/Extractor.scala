@@ -223,6 +223,7 @@ object Extractor {
       .map(t => t.rawText.trim.replaceAll("\\s+", " ")).getOrElse("")
     var author = ""; var description = ""; var keywords = ""
     var comments = ""; var revision = ""; var lastPrinted = ""
+    var application = ""; var company = ""
     // ranked candidates: value + precedence slot (lower = stronger)
     final class Ranked {
       var v = ""; private var rank = Int.MaxValue
@@ -246,6 +247,7 @@ object Extractor {
           case "comments"            => if (comments.isEmpty) comments = content
           case "revision"            => if (revision.isEmpty) revision = content
           case "last-printed"        => if (lastPrinted.isEmpty) lastPrinted = content
+          case "generator"           => if (application.isEmpty) application = content
           case "date"                => created.offer(1, content)
           case "dcterms.created"     => created.offer(2, content)
           case "dcterms.modified"    => modified.offer(2, content)
@@ -260,6 +262,7 @@ object Extractor {
           case "article:published_time" => created.offer(0, content)
           case "article:modified_time"  => modified.offer(0, content)
           case "article:section"        => category.offer(0, content)
+          case "og:site_name"           => if (company.isEmpty) company = content
           case _                        => ()
         }
         if (equiv == "last-modified") modified.offer(1, content)
@@ -270,7 +273,7 @@ object Extractor {
       createdDate = created.v, modifiedDate = modified.v,
       subject = subject.v, comments = comments, category = category.v,
       lastModifiedBy = lastModifiedBy.v, revision = revision,
-      lastPrinted = lastPrinted)
+      lastPrinted = lastPrinted, application = application, company = company)
   }
 
   /** Structural-landmark tags present in the body, deduplicated, joined

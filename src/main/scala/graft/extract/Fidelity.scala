@@ -140,6 +140,8 @@ object Fidelity {
       sb.append("File Size: ")
         .append(String.format(java.util.Locale.ROOT, "%.2f", Double.box(formatMb(sizeBytes))))
         .append(" MB\n")
+    add("Created With", meta.application)
+    add("Company", meta.company)
     if (meta.pageCount > 0) sb.append(s"Pages: ${meta.pageCount}\n")
     add("Layout Types", meta.layoutTypes)
     sb.append("-->\n")

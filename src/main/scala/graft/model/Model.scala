@@ -121,7 +121,12 @@ final case class DocMeta(
     category: String = "",
     lastModifiedBy: String = "",
     revision: String = "",
-    lastPrinted: String = ""
+    lastPrinted: String = "",
+    // file-section analogs (metadata_extractor.py:524-528 `Created With:` /
+    // `Company:`): <meta name="generator"> is the standard HTML analog of
+    // the creating application; og:site_name of the publishing org
+    application: String = "",
+    company: String = ""
 )
 
 object DocMeta {

@@ -69,8 +69,12 @@ object TwoPass {
         .orderBy("url")
     }),
 
-    // A12 metadata completeness: present essential fields / 3 * 100
-    // (metadata_extractor.py:632-658)
+    // A12 metadata completeness (metadata_extractor.py:637-640): essential
+    // fields are title/author/slide_count — page_count is the slide_count
+    // analog (round 4 fix: keywords was standing in for the third leg).
+    // `issues` carries the reference's validation messages verbatim
+    // (:643-652); the keywords recommendation (:654-655) is the lone
+    // recommendations entry with a DOM analog.
     "x_meta" -> ((s: SparkSession, dir: String) => {
       val extracted = graft.pipeline.Pipeline.extractedCommitted(s, dir)
       extracted.select(col("url"),
@@ -86,13 +90,21 @@ object TwoPass {
           col("meta.last_modified_by").as("last_modified_by"),
           col("meta.revision").as("revision"),
           col("meta.last_printed").as("last_printed"),
+          col("meta.application").as("application"),
+          col("meta.company").as("company"),
           col("meta.crawl_date").as("crawl_date"),
           col("meta.layout_types").as("layout_types"))
         .withColumn("completeness",
           round((when(col("title") =!= "", 1).otherwise(0) +
             when(col("author") =!= "", 1).otherwise(0) +
-            when(col("keywords") =!= "", 1).otherwise(0)).cast("double")
+            when(col("page_count") > 0, 1).otherwise(0)).cast("double")
             / 3.0 * 100.0, 1))
+        .withColumn("issues", array_compact(array(
+          when(col("title") === "", "No document title"),
+          when(col("author") === "", "No author information"),
+          when(col("page_count") === 0, "No slides detected"))))
+        .withColumn("recommendations", array_compact(array(
+          when(col("keywords") === "", "Add keywords to improve searchability"))))
         .orderBy("url")
     })
   )

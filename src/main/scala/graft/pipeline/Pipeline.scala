@@ -85,6 +85,8 @@ object Pipeline {
           col("r.last_modified_by").as("last_modified_by"),
           col("r.revision").as("revision"),
           col("r.last_printed").as("last_printed"),
+          col("r.application").as("application"),
+          col("r.company").as("company"),
           col("r.crawl_date").as("crawl_date"),
           col("r.layout_types").as("layout_types")
         ).as("meta"),

@@ -132,12 +132,13 @@ object ExtractDoc {
     StructField("error", StringType, nullable = true),
     // round-4 M1 breadth fields (appended to keep earlier ordinals stable)
     s("subject"), s("comments"), s("category"),
-    s("last_modified_by"), s("revision"), s("last_printed")))
+    s("last_modified_by"), s("revision"), s("last_printed"),
+    s("application"), s("company")))
 
   /** ExtractResult -> InternalRow, written directly (no encoder). */
   def toRow(r: graft.model.ExtractResult): GenericInternalRow = {
     def u(x: String) = UTF8String.fromString(if (x == null) "" else x)
-    val row = new GenericInternalRow(21)
+    val row = new GenericInternalRow(23)
     row.update(0, u(r.extractedText))
     row.update(1, new GenericArrayData(r.spans.map { sp =>
       val x = new GenericInternalRow(3)
@@ -163,6 +164,7 @@ object ExtractDoc {
     row.update(15, u(r.meta.subject)); row.update(16, u(r.meta.comments))
     row.update(17, u(r.meta.category)); row.update(18, u(r.meta.lastModifiedBy))
     row.update(19, u(r.meta.revision)); row.update(20, u(r.meta.lastPrinted))
+    row.update(21, u(r.meta.application)); row.update(22, u(r.meta.company))
     row
   }
 

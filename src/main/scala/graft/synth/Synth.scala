@@ -123,6 +123,10 @@ object Synth {
       html.append(s"""<meta name="revision" content="${docId % 7 + 1}">""")
     if (variant0 % 9 == 5)
       html.append(s"""<meta name="last-printed" content="2020-0${docId % 9 + 1}-15 10:30:00">""")
+    if (variant0 % 5 == 0)
+      html.append(s"""<meta name="generator" content="synthcms 1.${docId % 4}">""")
+    if (variant0 % 5 == 3)
+      html.append(s"""<meta property="og:site_name" content="Site ${docId % 21}">""")
     html.append("</head><body>\n")
     // boilerplate: nav + cookie banner (must be stripped)
     html.append("""<nav class="topnav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>""")

@@ -498,10 +498,16 @@ class KernelSpec extends AnyFunSuite {
     assert(m.comments == "a doc comment")
     assert(m.revision == "v2-draft")
     assert(m.lastPrinted == "2020-05-15 10:30:00")
+    // file-section analogs: generator -> application, og:site_name -> company
+    val f = metaOf("""<meta name="generator" content="somecms 2.1">""" +
+      """<meta property="og:site_name" content="Example Press">""")
+    assert(f.application == "somecms 2.1")
+    assert(f.company == "Example Press")
     // absent => all empty
     val none = metaOf("")
     assert(none.subject == "" && none.comments == "" && none.category == "" &&
-      none.lastModifiedBy == "" && none.revision == "" && none.lastPrinted == "")
+      none.lastModifiedBy == "" && none.revision == "" && none.lastPrinted == "" &&
+      none.application == "" && none.company == "")
   }
 
   test("crawl date: warc_ts micros formatted like Python str(datetime), absent when unset") {
