@@ -314,6 +314,51 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n2 == 5, s"expected 5 slices for 500 rows @100, got $n2")
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    // the SCALE.md bucketing claim, demonstrated: two tables bucketBy'd on
+    // the join key into the same bucket count join WITHOUT any shuffle —
+    // the storage layout IS the partitioning (at 100 TB this is the
+    // difference between a one-off layout cost and a per-query shuffle
+    // of the fact table)
+    val wh = tmp()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh'")
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt.orders_b")
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt.lineitem_b")
+      // hint("merge") keeps AQE from broadcasting the (tiny at test sf)
+      // build side — at real scale both sides are fact-sized and SMJ is
+      // what the bucketing exists for
+      val j = spark.table("graft_bkt.orders_b").hint("merge")
+        .join(spark.table("graft_bkt.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // neither join key is ever repartitioned — the bucketed layout IS the
+      // partitioning (the only Exchange allowed is the groupBy above)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // sanity: result matches the unbucketed computation
+      val expected = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .join(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.lineitem_b")
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt")
+    }
+  }
+
   test("pages round-trip through csv/json sources; links csv sink (S10)") {
     val p = pages.limit(50).cache()
     val csvDir = tmp() + "/pages_csv"
