@@ -22,6 +22,30 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val bucketedDbs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once bucketed copies of orders/lineitem for q_bucketed_join:
+    * `bucketBy(8, <orderkey>)` + sortBy, so the join co-locates by storage
+    * layout instead of shuffling (the SCALE.md bucketing story through the
+    * driver's own oracle gate). Managed tables live under a temp-dir
+    * database, deleted at JVM exit like the committed extraction table. */
+  private def bucketedDb(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    bucketedDbs.computeIfAbsent(key, _ => {
+      val db = "graft_bkt_" + Integer.toHexString(key.hashCode).takeWhile(_ != '-')
+      val loc = java.nio.file.Files.createTempDirectory("graft-bucketed-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try graft.lake.SnapshotLog.deleteRecursively(loc) catch { case _: Throwable => () }))
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      t(s, dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      t(s, dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+      db
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction kernel (rows-only checks; not SQL-expressible) --------
     "x_extract" -> ((s: SparkSession, dir: String) => {
@@ -423,6 +447,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- bucketed co-located join (round 4): both sides bucketBy'd on the
+    // join key, SortMergeJoin with NO Exchange on either join key — the
+    // storage layout is the partitioning. hint("merge") keeps AQE from
+    // broadcasting the test-scale build side; at 100 TB both sides are
+    // fact-sized and SMJ-over-buckets is the point. ------------------------
+    "q_bucketed_join" -> ((s: SparkSession, dir: String) => {
+      val db = bucketedDb(s, dir)
+      s.table(s"$db.orders_b").hint("merge")
+        .join(s.table(s"$db.lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- correlated subqueries: EXISTS / NOT EXISTS (SQL surface) ---------
     "q_exists" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -703,6 +742,11 @@ object SparkEntry {
       """SELECT doc_id,
         | (1700000000 + doc_id * 600) * 1000000 AS ts_us, lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_json" ->
       """SELECT event_type,
         | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,

@@ -21,7 +21,8 @@ object PlanCheck {
       "x_extract", "x_links", "q_agg", "q_join_collect", "q_forward_fill",
       "q_topk", "q_topk_custom", "dd_minhash_lsh", "dd_exact",
       "dd_embed_neardup", "ann_topk", "ann_ivf", "ta_langid",
-      "q_time_window", "q_asof_join", "ta_sample", "dd_simhash")
+      "q_time_window", "q_asof_join", "ta_sample", "dd_simhash",
+      "q_bucketed_join")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of headline queries (local mode)\n\n")
@@ -109,6 +110,13 @@ object PlanCheck {
             plan.contains("graft_simhash64"))
           check("no interpreted per-bit aggregate() folds",
             !plan.contains("aggregate(hashes"))
+        case "q_bucketed_join" =>
+          check("bucketed scans on both sides", plan.contains("Bucketed: true"))
+          check("sort-merge join over the bucket layout",
+            plan.contains("SortMergeJoin"))
+          check("neither join key ever repartitioned",
+            !plan.contains("Exchange hashpartitioning(o_orderkey") &&
+              !plan.contains("Exchange hashpartitioning(l_orderkey"))
         case "q_topk_custom" =>
           check("custom TopKPerKey exec planned", plan.contains("TopKPerKey"))
           // the only Sort allowed is the final deterministic output orderBy
