@@ -180,6 +180,8 @@ object Bench {
     oneTime("ivf_centroid_training") = timeIt(graft.ops.Ann.trainCentroidsCached(
       s2.read.parquet(s"$sfDir/embeddings.parquet"),
       s2.sparkContext.applicationId + "|" + sfDir, k = 16, iters = 2))
+    // write-once bucketed orders/lineitem tables (q_bucketed_join layout)
+    oneTime("bucketed_tables_build") = timeIt(SparkEntry.bucketedDb(s2, sfDir))
 
     // failures are RECORDED, never silently timed as successes (a crash
     // must not masquerade as a speedup)

@@ -30,10 +30,10 @@ object SparkEntry {
     * layout instead of shuffling (the SCALE.md bucketing story through the
     * driver's own oracle gate). Managed tables live under a temp-dir
     * database, deleted at JVM exit like the committed extraction table. */
-  private def bucketedDb(s: SparkSession, dir: String): String = {
+  private[graft] def bucketedDb(s: SparkSession, dir: String): String = {
     val key = s.sparkContext.applicationId + "|" + dir
     bucketedDbs.computeIfAbsent(key, _ => {
-      val db = "graft_bkt_" + Integer.toHexString(key.hashCode).takeWhile(_ != '-')
+      val db = "graft_bkt_" + Integer.toHexString(key.hashCode)
       val loc = java.nio.file.Files.createTempDirectory("graft-bucketed-")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try graft.lake.SnapshotLog.deleteRecursively(loc) catch { case _: Throwable => () }))
