@@ -116,4 +116,51 @@ class PropertySpec extends AnyFunSuite {
       assert(r.extractedText.nonEmpty)
     }
   }
+
+  // ---- fused hash-kernel laws (implementation-independent properties, on
+  // top of the exact-equality pins in SparkJobsSpec) -----------------------
+
+  private def minhashOf(tokens: Seq[String]): Seq[Long] =
+    graft.plans.MinhashSigs.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]),
+      3, 16).toSeq
+
+  private def simhashOf(hs: Seq[Long]): Long =
+    graft.plans.Simhash64.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray))
+
+  test("minhash law: appending tokens only lowers signatures (min over a superset)") {
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val gen = for {
+      a <- Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, word))
+      b <- Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, word))
+    } yield (a, b)
+    forAll(gen, 150) { case (a, b) =>
+      // a has >= 3 tokens, so all of a's shingle windows survive the append
+      val base = minhashOf(a)
+      val ext = minhashOf(a ++ b)
+      assert(base.zip(ext).forall { case (x, y) => y <= x },
+        s"append raised a signature: $base -> $ext")
+    }
+  }
+
+  test("minhash law: repeating one token adds no distinct shingles") {
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    forAll(Gen.zip(word, Gen.choose(3, 40)), 100) { case (w, n) =>
+      assert(minhashOf(List.fill(n)(w)) == minhashOf(List.fill(3)(w)))
+    }
+  }
+
+  test("simhash laws: order-invariant, uniform-duplication-invariant") {
+    val gen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)))
+    forAll(gen, 150) { hs =>
+      val base = simhashOf(hs)
+      assert(simhashOf(hs.reverse) == base, "reverse changed the fingerprint")
+      assert(simhashOf(hs.sorted) == base, "sort changed the fingerprint")
+      // duplicating every element doubles each bit count AND n: votes hold
+      assert(simhashOf(hs ++ hs) == base, "uniform duplication changed the fingerprint")
+    }
+  }
 }
