@@ -59,13 +59,20 @@ object OpsQueries {
     * tokens; empty docs an empty array). `th` must be a MATERIALIZED
     * column of xxhash64(token) values (HOF-inlining a derived array makes
     * Catalyst re-evaluate it per element). */
-  private[graft] def shingleHashes(th: Column, k: Int): Column =
+  private[graft] def shingleHashes(th: Column, k: Int): Column = {
+    // short docs (0 < n < k) contribute ONE shingle over all n tokens,
+    // matching MinhashSigs.compute for ANY k — ADVICE r4: the previous
+    // formulation special-cased n = 1 and 2 only, silently emitting an
+    // empty array for 2 < n < k at k >= 4.
+    val base = (1 until k).foldLeft(array().cast("array<bigint>")) { (acc, n) =>
+      when(size(th) === n,
+        array(xxhash64((1 to n).map(element_at(th, _)): _*))).otherwise(acc)
+    }
     when(size(th) >= k,
       transform(sequence(lit(1), size(th) - (k - 1)),
         i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*)))
-      .when(size(th) === 2, array(xxhash64(element_at(th, 1), element_at(th, 2))))
-      .when(size(th) === 1, array(xxhash64(element_at(th, 1))))
-      .otherwise(array().cast("array<bigint>"))
+      .otherwise(base)
+  }
 
   /** Pure-Column reference formulation of the SAME minhash math, built
     * from Spark's own xxhash64 (equality-test reference only — per-row
@@ -80,6 +87,82 @@ object OpsQueries {
         array_min(transform(sh, x => xxhash64(x, lit(j.toLong)))),
         lit(Long.MaxValue))
     }: _*)
+  }
+
+  // ---- duplicate-cluster collapse for the LSH family (VERDICT r4 #2) ------
+  // Real crawls are full of exact-duplicate clusters (mirrors, boilerplate,
+  // templated spam): every member carries the IDENTICAL signature, so a
+  // band self-join over raw docs produces |cluster|^2 candidate pairs in
+  // every bucket the cluster lands in — the dominant real-world skew mode
+  // for web dedup (the r4 empty-doc pre-filter fixed one instance of this
+  // class; this is the general fix). Collapse: group by md5(text), band ONE
+  // representative per distinct content, and expand candidate pairs through
+  // group membership afterward. The band join then sees one row per
+  // DISTINCT content; the quadratic within-cluster pair set is produced by
+  // a cheap array-pair generate at output time (provably jaccard 1.0 /
+  // cosine 1.0 — no rerank needed), never by the shuffle join.
+  // Cost: one extra groupBy shuffle carrying (md5, doc_id, sigs) — ~200
+  // bytes/row — bought before the band join; at corpus scale that is the
+  // price of deleting the |cluster|^2 blow-up.
+
+  /** Collapse exact text duplicates: one row per distinct md5(text) with the
+    * min-doc_id representative, its minhash signature, and the sorted member
+    * list. Input must be (doc_id, text, t) with non-empty t. */
+  private[graft] def minhashGroups(base: DataFrame, k: Int, nHashes: Int): DataFrame =
+    base
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        minhashFused(col("t"), k, nHashes).as("sigs"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("sigs"), col("doc_id")).as("sigs"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .drop("fp")
+
+  /** (doc_id, band, bucket) band relation over signature rows. */
+  private[graft] def bandBuckets(sigs: DataFrame, nHashes: Int, bandRows: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until nHashes / bandRows).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until bandRows).map(r =>
+            element_at(col("sigs"), b * bandRows + r + 1)): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Distinct representative-level candidate pairs from a band relation. */
+  private[graft] def repCandidates(bands: DataFrame): DataFrame =
+    bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+  /** Expand representative-level pairs back to member-level pairs: the cross
+    * product of the two clusters' members for every rep pair (any extra
+    * columns on `repPairs`, e.g. jaccard, are carried through — exact
+    * duplicates have identical sets, so per-pair values transfer verbatim),
+    * plus all within-cluster pairs for every multi-member cluster tagged
+    * with `withinValues` (their similarity is 1.0 by construction). Member
+    * arrays are one row per DISTINCT content, so the generates are local —
+    * no shuffle sees the quadratic set. */
+  private[graft] def expandMemberPairs(repPairs: DataFrame, groups: DataFrame,
+      withinValues: Seq[(String, Column)] = Nil): DataFrame = {
+    val mem = groups.select(col("doc_id").as("rep_id"), col("members"))
+    val extra = repPairs.columns.filterNot(c => c == "a_id" || c == "b_id").toSeq
+    val cross = repPairs
+      .join(mem.select(col("rep_id").as("a_id"), col("members").as("a_ms")), Seq("a_id"))
+      .join(mem.select(col("rep_id").as("b_id"), col("members").as("b_ms")), Seq("b_id"))
+      .withColumn("am", explode(col("a_ms")))
+      .withColumn("bm", explode(col("b_ms")))
+      .select(Seq(least(col("am"), col("bm")).as("a_id"),
+        greatest(col("am"), col("bm")).as("b_id")) ++ extra.map(col): _*)
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members")) - i - lit(1)),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(Seq(col("p.a_id"), col("p.b_id")) ++
+        withinValues.map { case (n, c) => c.as(n) }: _*)
+    cross.unionAll(within)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,24 +224,18 @@ object OpsQueries {
       // identical sentinel signature, so at corpus scale they would pile
       // into one quadratic band bucket (the r3 empty-string-shingle
       // formulation had the same hazard). Empty-doc dedup belongs to
-      // dd_exact, where it is a single hash group.
-      val sigs = docs(s, dir)
-        .select(col("doc_id"), toks(col("text")).as("t"))
+      // dd_exact, where it is a single hash group. Exact duplicates are
+      // collapsed to one banded representative per distinct content and the
+      // output pairs re-expanded through membership (VERDICT r4 #2 — see
+      // the collapse block above); output is IDENTICAL to banding every
+      // doc (members carry their rep's signature verbatim), candidates are
+      // one-per-distinct-content.
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
         .filter(size(col("t")) > 0)
-        .select(col("doc_id"), minhashFused(col("t"), 3, nHashes).as("sigs"))
-      val bands = sigs.select(
-        col("doc_id"),
-        explode(array((0 until nHashes / bandRows).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((0 until bandRows).map(r =>
-              element_at(col("sigs"), b * bandRows + r + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val x = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-      val y = bands.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-      x.join(y, Seq("band", "bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+      val groups = minhashGroups(base, 3, nHashes)
+      val repPairs = repCandidates(bandBuckets(groups, nHashes, bandRows))
+      expandMemberPairs(repPairs, groups)
         .orderBy("a_id", "b_id")
     }),
 
@@ -175,29 +252,22 @@ object OpsQueries {
       val nHashes = 16
       val bandRows = 4
       // same empty-doc pre-filter as dd_minhash_lsh (sentinel-signature
-      // bucket pile-up; empty docs are dd_exact's job)
-      val base = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+      // bucket pile-up; empty docs are dd_exact's job); same exact-dup
+      // collapse (VERDICT r4 #2) — candidates and the shingle-set rerank
+      // run on one representative per distinct content, then pairs expand
+      // through membership (within-cluster jaccard is 1.0 by construction:
+      // identical text => identical shingle set; cross-cluster members
+      // inherit their reps' EXACT jaccard for the same reason).
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
         .filter(size(col("t")) > 0)
-      val sigs = base
-        .select(col("doc_id"), minhashFused(col("t"), 3, nHashes).as("sigs"))
-      val bands = sigs.select(
-        col("doc_id"),
-        explode(array((0 until nHashes / bandRows).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((0 until bandRows).map(r =>
-              element_at(col("sigs"), b * bandRows + r + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-        .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
-          Seq("band", "bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      val groups = minhashGroups(base, 3, nHashes)
+      val cand = repCandidates(bandBuckets(groups, nHashes, bandRows))
       val shsets = base
         .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
         .select(col("doc_id"),
           array_distinct(shingleHashes(col("th"), 3)).as("shset"))
-      cand
+      val repPairs = cand
         .join(shsets.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
         .join(shsets.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
         .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
@@ -206,6 +276,8 @@ object OpsQueries {
         .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
         .filter(col("jaccard") >= 0.8)
         .select(col("a_id"), col("b_id"), col("jaccard"))
+      expandMemberPairs(repPairs, groups,
+        withinValues = Seq("jaccard" -> lit(1.0)))
         .orderBy("a_id", "b_id")
     }),
 
@@ -238,23 +310,34 @@ object OpsQueries {
     // flip 0.9999-vs-0.51 against a 0.92 cut). ------------------------------
     "dd_embed_neardup" -> ((s: SparkSession, dir: String) => {
       val corpus = Ann.withTwins(embs(s, dir))
+      // Exact-duplicate collapse (VERDICT r4 #2), embedding edition: one
+      // banded representative per DISTINCT vector (groupBy on the embedding
+      // itself — exact, no hash-collision risk), pairs re-expanded through
+      // membership at output time. Identical vectors have cosine 1.0 and
+      // identical cosines to everything else, so the expanded output equals
+      // banding every row — without |cluster|^2 candidates in the band join.
+      val groups = corpus.groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("vec_id"),
+          array_sort(collect_list(col("vec_id"))).as("members"))
+      val reps = groups.select(col("vec_id"), col("embedding"))
       // band-bucket self-join carries ONLY (vec_id, band, sig) — at corpus
       // scale the 6x-replicated band relation must not drag the embedding
       // array through the shuffle (round-3 change; ~10x shuffle bytes
       // saved). Embeddings re-join by id for the exact cosine rerank.
-      val sigs = Ann.bandedSigs(corpus, bands = 6, r = 12, dims = 64)
+      val sigs = Ann.bandedSigs(reps, bands = 6, r = 12, dims = 64)
         .select(col("vec_id"), col("band"), col("sig"))
       val cand = sigs.select(col("band"), col("sig"), col("vec_id").as("a_id"))
         .join(sigs.select(col("band"), col("sig"), col("vec_id").as("b_id")),
           Seq("band", "sig"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-      cand
-        .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("ae")), Seq("a_id"))
-        .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("be")), Seq("b_id"))
+      val repPairs = cand
+        .join(reps.select(col("vec_id").as("a_id"), col("embedding").as("ae")), Seq("a_id"))
+        .join(reps.select(col("vec_id").as("b_id"), col("embedding").as("be")), Seq("b_id"))
         .withColumn("sim", cosine(col("ae"), col("be")))
         .filter(col("sim") >= 0.92)
         .select(col("a_id"), col("b_id"))
+      expandMemberPairs(repPairs, groups.select(col("vec_id").as("doc_id"), col("members")))
         .orderBy("a_id", "b_id")
     }),
 
