@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator plan: exact top-k rows per key — the reference's
@@ -20,9 +20,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * 10^12 rows with small k that is the difference between a sort of the
   * whole shuffle output and a streaming pass.
   *
-  * Distribution contract: `requiredChildDistribution = ClusteredDistribution`
-  * — EnsureRequirements inserts the hash exchange, so every key's rows meet
-  * in one partition and the per-partition heaps are globally exact.
+  * Distribution contract: the FINAL exec requires `ClusteredDistribution` —
+  * EnsureRequirements inserts the hash exchange, so every key's rows meet in
+  * one partition and the per-partition heaps are globally exact.
+  *
+  * Map-side partial (VERDICT r4 #5): the strategy plans the final exec over
+  * a PARTIAL copy of itself with no distribution requirement — per-input-
+  * partition k-heaps run BEFORE the exchange, so at most k rows per key per
+  * input partition cross the shuffle. Correct because top-k-per-key is
+  * combinable: topK(topK(p1) ∪ topK(p2) ∪ …) = topK(p1 ∪ p2 ∪ …) (any row
+  * dropped by a partial heap is beaten by k rows of the same key that DO
+  * cross). This is what keeps low-cardinality keys from serializing the
+  * whole input through a handful of reduce tasks: with |keys| = 5 the
+  * exchange moves ≤ 5k·P rows instead of every row, and the reduce-side
+  * heaps stream a bounded input. The reduce side still runs one task per
+  * key at worst — streaming a tiny input, not sorting the corpus (the
+  * window formulation's trap, q_topk).
   */
 final case class TopKPerKeyNode(
     groupExprs: Seq[Expression],
@@ -38,12 +51,16 @@ final case class TopKPerKeyExec(
     groupExprs: Seq[Expression],
     order: SortOrder,
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(groupExprs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -97,7 +114,10 @@ final case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(g, o, k, child) =>
-      TopKPerKeyExec(g, o, k, planLater(child)) :: Nil
+      // final over partial: the partial runs map-side (no distribution
+      // requirement), EnsureRequirements inserts the exchange between them
+      TopKPerKeyExec(g, o, k, partial = false,
+        TopKPerKeyExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
