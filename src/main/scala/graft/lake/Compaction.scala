@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   *
   * `compact` rewrites any bucket holding more than `maxFiles` data files
   * into `targetFiles` files and re-commits it through the NORMAL snapshot
-  * protocol — the bucket swap is a single rename, so concurrent readers of
-  * the current version never see a half-compacted bucket, and the commit
-  * appends a new manifest version like any other commit. Time travel: all
+  * protocol — single-writer, like the rest of the log (ADVICE r4: the swap
+  * is move-aside + move-in, so a concurrent lister could still catch a
+  * brief not-found window between the two renames; readers must resolve
+  * paths from a manifest before or after the commit, never during). The
+  * commit appends a new manifest version like any other commit. Time travel: all
   * manifests remain readable, but versions older than the compaction now
   * resolve to the compacted files (the log keeps manifests, not data copies
   * — the documented SnapshotLog caveat, same trade Iceberg makes once old

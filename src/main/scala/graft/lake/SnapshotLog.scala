@@ -76,11 +76,25 @@ final class SnapshotLog(tableDir: String) {
   def stagingRoot(): Path =
     tmpDir.resolve(s"stage-${latestVersion()}")
 
-  /** Atomically publish a staged bucket dir and record it in a new snapshot. */
+  /** Publish a staged bucket dir and record it in a new snapshot.
+    *
+    * Consistency contract (ADVICE r4): the log is SINGLE-WRITER and readers
+    * are expected to resolve paths via a manifest BEFORE the swap or AFTER
+    * it — a reader listing the bucket dir during the swap can observe a
+    * missing dir for the instant between the two renames. Re-commit moves
+    * the old data ASIDE first and deletes it only after the new dir is in
+    * place, so the not-found window is two renames, not a recursive delete
+    * (the previous delete-then-move ordering left a half-deleted bucket
+    * visible for the whole delete). */
   def commitBucket(bucket: Int, staged: Path): Unit = {
     val dest = bucketDataDir(bucket)
-    if (Files.exists(dest)) deleteRecursively(dest) // idempotent re-commit
-    Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(dest)) { // idempotent re-commit: move aside, swap, drop
+      val aside = tmpDir.resolve(s"replaced-$bucket-${latestVersion()}")
+      if (Files.exists(aside)) deleteRecursively(aside)
+      Files.move(dest, aside, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(aside)
+    } else Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
     val newBuckets = committedBuckets() + bucket
     val v = latestVersion() + 1
     val json =
@@ -103,15 +117,21 @@ final class SnapshotLog(tableDir: String) {
   def committedPathsAt(v: Int): Vector[String] =
     committedBucketsAt(v).toVector.sorted.map(b => bucketDataDir(b).toString)
 
-  /** Remove orphaned `stage-*` dirs left under `_tmp` by runs killed during
+  /** Remove orphaned staging dirs left under `_tmp` by runs killed during
     * staging or the commit loop (ADVICE r3): a restarted run computes a new
     * stagingRoot from the advanced version and would never clean the old
     * one, leaking staged parquet forever. Single-writer assumption (same as
-    * the rest of the log) makes ANY existing stage dir garbage. */
+    * the rest of the log) makes ANY existing stage dir garbage. Matches all
+    * three scratch-name shapes (ADVICE r4 — the `<bucket>-<v>-stage` suffix
+    * pattern from [[stagingDir]] and `replaced-*` from a commit killed
+    * mid-swap were previously never swept). */
   def sweepStaleStages(): Unit =
     if (Files.exists(tmpDir))
       Files.list(tmpDir).iterator().asScala.toVector
-        .filter(_.getFileName.toString.startsWith("stage-"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("stage-") || n.endsWith("-stage") || n.startsWith("replaced-")
+        }
         .foreach(SnapshotLog.deleteRecursively)
 
   /** Expire old manifests, keeping the most recent `keepLast` versions (the

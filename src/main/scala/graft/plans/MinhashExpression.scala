@@ -34,10 +34,13 @@ case class MinhashSigs(child: Expression, k: Int, nHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sigs"
 
+  // containsNull inputs are REJECTED (ADVICE r4, consistent with Simhash64):
+  // compute calls getUTF8String on every slot and would NPE on a null
+  // element; the internal toks() pipelines are containsNull=false.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects ARRAY<STRING>, got $t")
+      s"$prettyName expects ARRAY<STRING> with non-null elements, got $t")
   }
 
   override protected def nullSafeEval(input: Any): Any =

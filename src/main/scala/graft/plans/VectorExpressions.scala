@@ -252,10 +252,15 @@ case class Simhash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
+  // containsNull inputs are REJECTED (ADVICE r4): compute reads getLong on
+  // every slot, so a null element would read undefined garbage and silently
+  // corrupt the fingerprint. The internal pipelines always feed
+  // transform(tokens, xxhash64) — containsNull=false — and arbitrary user
+  // SQL now gets an analysis error instead of a wrong answer.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects ARRAY<BIGINT>, got $t")
+      s"$prettyName expects ARRAY<BIGINT> with non-null elements, got $t")
   }
 
   override protected def nullSafeEval(input: Any): Any =
