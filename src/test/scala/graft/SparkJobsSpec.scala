@@ -172,6 +172,45 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernelLinks == twoPass)
   }
 
+  test("x_meta_summary equals an independent recomputation (get_metadata_summary analog)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("x_meta_summary")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    // independent recomputation from the extracted table + page bytes,
+    // driver-side (reference semantics: metadata_extractor.py:585-599 —
+    // presence flags, 'Unknown' application default, Python round(x, 2)
+    // i.e. HALF_EVEN on the binary double)
+    val meta = Pipeline.extractedCommitted(spark, dir)
+      .select(col("url"), col("meta.title"), col("meta.author"),
+        col("meta.page_count"), col("meta.keywords"), col("meta.application"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sizes = Pipeline.pages(spark, dir).select(col("url"), length(col("html")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out.keySet == meta.keySet)
+    val flagCounts = Array(0, 0, 0) // has_title / has_author / has_keywords
+    out.foreach { case (url, r) =>
+      val m = meta(url)
+      assert(r.getBoolean(1) == (m.getString(1) != ""), s"has_title($url)")
+      assert(r.getBoolean(2) == (m.getString(2) != ""), s"has_author($url)")
+      assert(r.getInt(3) == m.getInt(3), s"slide_count($url)")
+      assert(r.getBoolean(6) == (m.getString(4) != ""), s"has_keywords($url)")
+      val expApp = if (m.getString(5) == "") "Unknown" else m.getString(5)
+      assert(r.getString(7) == expApp, s"application($url)")
+      val expMb = new java.math.BigDecimal(sizes(url) / 1048576.0)
+        .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
+      assert(math.abs(r.getDouble(8) - expMb) < 1e-9, s"file_size_mb($url)")
+      if (r.getBoolean(1)) flagCounts(0) += 1
+      if (r.getBoolean(2)) flagCounts(1) += 1
+      if (r.getBoolean(6)) flagCounts(2) += 1
+    }
+    // at least one presence flag must show BOTH polarities in the corpus,
+    // or the gate can't distinguish flags from constants (every synthetic
+    // doc has a title, so the title flag alone is degenerate-true)
+    assert(flagCounts.exists(c => c > 0 && c < out.size),
+      s"all presence flags degenerate: ${flagCounts.mkString(",")} of ${out.size}")
+  }
+
   test("graft_extract_text / graft_extract_doc Catalyst expressions match the kernel output") {
     graft.plans.ExtractText.register(spark)
     val p = pages.limit(20)
@@ -394,11 +433,20 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getDouble(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).sorted.toSeq).toMap
     assert(customSet == viaWindow)
-    // plan shape: our exec + an inserted hash exchange, and NO Sort node
+    // plan shape: map-side partial heap -> hash exchange -> final heap, and
+    // NO Sort node (VERDICT r4 #5: at most k rows per key per input
+    // partition cross the shuffle)
     val plan = viaCustom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), s"missing map-side partial:\n$plan")
     assert(plan.contains("TopKPerKey"))
     assert(plan.contains("Exchange"))
     assert(!plan.contains("Sort"), s"custom top-k must not sort:\n$plan")
+    // the exchange must sit BETWEEN final and partial (partial below it)
+    val iFinal = plan.indexOf("TopKPerKey ")
+    val iEx = plan.indexOf("Exchange")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iFinal >= 0 && iFinal < iEx && iEx < iPartial,
+      s"expected final > Exchange > partial ordering:\n$plan")
   }
 
   test("dd_embed_neardup (banded LSH + exact rerank) equals brute force, no BNLJ") {
@@ -507,6 +555,80 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LSH dedup collapses exact-duplicate clusters: candidates stay flat, pairs expand exactly") {
+    // VERDICT r4 #2: a big exact-duplicate cluster (mirrors/boilerplate — the
+    // dominant real-world web-dedup skew mode) must NOT produce |cluster|^2
+    // candidate pairs in the band self-join. Plant a ~1000-copy cluster and
+    // assert (a) the rep-level candidate relation is IDENTICAL to the
+    // corpus without the copies (the cluster collapses onto its existing
+    // representative), (b) the expanded output still contains every
+    // within-cluster pair and every cross pair — same semantics as banding
+    // every doc, minus the quadratic join.
+    val dir = tmp()
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val srcRow = base.filter(size(split(col("text"), "\\s+")) >= 60)
+      .orderBy("doc_id").limit(1).collect()(0)
+    val srcId = srcRow.getLong(0)
+    val copies = spark.range(1000)
+      .select((col("id") + 200000L).as("doc_id"), lit(srcRow.getString(1)).as("text"))
+    base.unionAll(copies).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def prep(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("t"))
+      .filter(size(col("t")) > 0)
+    val groupsBase = OpsQueries.minhashGroups(prep(base), 3, 16)
+    val groupsBig = OpsQueries.minhashGroups(
+      prep(spark.read.parquet(s"$dir/documents.parquet")), 3, 16)
+    // the 1000 copies join srcId's content group: distinct-content count unchanged
+    assert(groupsBig.count() == groupsBase.count())
+    val clusterMembers = groupsBig.filter(col("doc_id") === srcId)
+      .select(size(col("members"))).first.getInt(0)
+    assert(clusterMembers >= 1001, s"cluster not collapsed onto $srcId: $clusterMembers")
+    // rep-level band candidates: EXACTLY the no-copies candidate set
+    val candBase = OpsQueries.repCandidates(
+      OpsQueries.bandBuckets(groupsBase, 16, 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candBig = OpsQueries.repCandidates(
+      OpsQueries.bandBuckets(groupsBig, 16, 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candBig == candBase,
+      s"planted copies changed the rep-level candidate set: ${candBig.size} vs ${candBase.size}")
+
+    // expanded output: every within-cluster pair present, count exact
+    val out = SparkEntry.queries("dd_minhash_lsh")(spark, dir)
+    val inCluster = (id: org.apache.spark.sql.Column) =>
+      id === srcId || (id >= 200000L && id < 201000L)
+    val withinCount = out.filter(inCluster(col("a_id")) && inCluster(col("b_id"))).count()
+    val n = clusterMembers.toLong
+    assert(withinCount == n * (n - 1) / 2,
+      s"expected ${n * (n - 1) / 2} within-cluster pairs, got $withinCount")
+    assert(out.filter(col("a_id") === srcId && col("b_id") === 200000L).count() == 1)
+    assert(out.filter(col("a_id") === 200000L && col("b_id") === 200001L).count() == 1)
+
+    // dd_jaccard_lsh: within-cluster pairs carry jaccard exactly 1.0
+    val jOut = SparkEntry.queries("dd_jaccard_lsh")(spark, dir)
+      .filter(col("a_id") === 200000L && col("b_id") === 200001L).collect()
+    assert(jOut.length == 1 && jOut(0).getDouble(2) == 1.0, jOut.mkString(";"))
+
+    // embedding edition: 200 copies of one vector (ids chosen % 5 != 0 so
+    // withTwins adds no twins for them) — output grows by exactly the
+    // within-cluster pair count, candidates stay at the no-copies set size
+    val eBase = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val srcEmb = eBase.filter(col("vec_id") === 3L).select("embedding")
+    val eCopies = spark.range(200).crossJoin(srcEmb)
+      .select((col("id") * 5 + 300001L).as("vec_id"), col("embedding"))
+    eBase.unionAll(eCopies).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val embOutBase = SparkEntry.queries("dd_embed_neardup")(spark, "/root/testdata/sf0.001").count()
+    val embOut = SparkEntry.queries("dd_embed_neardup")(spark, dir)
+    val m = 201L // vec 3 + 200 copies share one identical vector
+    assert(embOut.count() == embOutBase + m * (m - 1) / 2,
+      s"embed expansion off: ${embOut.count()} vs $embOutBase + ${m * (m - 1) / 2}")
+    assert(embOut.filter(col("a_id") === 3L && col("b_id") === 300001L).count() == 1)
+  }
+
   test("native graft_cosine matches the HOF formulation and plans into WholeStageCodegen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val x = e.select(col("vec_id").as("id"), col("embedding").as("ae"))
@@ -577,6 +699,8 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("fused graft_simhash64 equals the 64-fold HOF formulation") {
+    val sp = spark
+    import sp.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => length(x) > 0).as("t"))
@@ -587,11 +711,20 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.count() == 500)
     assert(both.filter(col("f") =!= col("h")).count() == 0,
       "fused simhash diverged from the HOF formulation")
-    // empty token list => all votes 0 => fingerprint 0
-    val empty = spark.sql("SELECT CAST(array() AS array<bigint>) AS hashes")
+    // empty token list => all votes 0 => fingerprint 0 (typed Dataset: the
+    // Seq[Long] encoder gives containsNull=false, which the expression now
+    // REQUIRES — a containsNull array is an analysis error, ADVICE r4)
+    val empty = Seq(Seq.empty[Long]).toDF("hashes")
       .select(OpsQueries.simhashFused(col("hashes")).as("f"))
       .first.getLong(0)
     assert(empty == 0L)
+    // the stricter input check: containsNull=true arrays are rejected up
+    // front instead of silently hashing garbage
+    val err = intercept[Exception] {
+      spark.sql("SELECT CAST(array() AS array<bigint>) AS hashes")
+        .select(OpsQueries.simhashFused(col("hashes")).as("f")).collect()
+    }
+    assert(err.getMessage.contains("non-null elements"), err.getMessage)
     both.unpersist()
   }
 
@@ -618,6 +751,19 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.length == 2 &&
       empty.forall(_.getSeq[Long](0).forall(_ == Long.MaxValue)))
     both.unpersist()
+    // generic k (ADVICE r4): at k=5, docs with 1..4 tokens hit the
+    // short-doc branch — fused and Column-reference formulations must agree
+    // there too (the old reference silently emitted NO shingle for 3..4)
+    val short5 = Seq((1L, "one"), (2L, "two words"), (3L, "exactly three tokens"),
+      (4L, "now four whole tokens"), (5L, "and here five whole tokens"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        OpsQueries.minhashFused(col("t"), 5, 8).as("f"),
+        OpsQueries.minhashRef(col("t"), 5, 8).as("r"))
+    val diff5 = short5.filter(not(col("f") === col("r")))
+    assert(diff5.count() == 0, diff5.collect().mkString("; "))
+    assert(short5.filter(size(col("f")) =!= 8).count() == 0)
   }
 
   test("HyperplaneSigs min-length semantics pinned against the unfused formulation on truncated embeddings") {
