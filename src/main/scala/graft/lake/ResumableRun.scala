@@ -36,37 +36,65 @@ object ResumableRun {
   /** Run (or resume) extraction into `tableDir`. `maxBuckets` caps how many
     * uncommitted buckets to process this invocation (used to simulate a
     * killed run in tests); `chunkBuckets` sets the commit granularity (see
-    * object scaladoc). Returns the buckets processed this run. */
+    * object scaladoc). `bucketExpr` is the table's PARTITION SPEC — a pure
+    * Column mapping each row to [0, nBuckets) over columns present on BOTH
+    * the input and the extracted output (url, warc_ts, lang — it is
+    * re-evaluated on the output so the kernel column set stays clean); the
+    * default is the skew-safe salted url-hash. Choose a spec that CLUSTERS
+    * the stats columns (e.g. a domain- or lang-derived bucket) when
+    * manifest-stats pruning ([[readTablePruned]]) matters for the table's
+    * query mix — hash buckets defeat min/max pruning by construction, the
+    * same trade Iceberg documents for partition spec + sort order. Returns
+    * the buckets processed this run. */
   def run(spark: SparkSession, pages: DataFrame, tableDir: String,
       nBuckets: Int, maxBuckets: Int = Int.MaxValue,
-      chunkBuckets: Int = Int.MaxValue): Vector[Int] = {
+      chunkBuckets: Int = Int.MaxValue,
+      bucketExpr: Option[org.apache.spark.sql.Column] = None): Vector[Int] = {
     val log = new SnapshotLog(tableDir)
     log.init()
     log.sweepStaleStages()
     val done = log.committedBuckets()
     val todo = (0 until nBuckets).filterNot(done.contains).take(maxBuckets).toVector
     if (todo.isEmpty) return todo
-    val hot = Pipeline.hotDomains(pages).keySet
+    val bucket = bucketExpr.getOrElse(
+      Pipeline.saltedBucket(Pipeline.hotDomains(pages).keySet, nBuckets))
     todo.grouped(math.max(1, chunkBuckets)).foreach { chunk =>
-      stageAndCommit(spark, pages, log, hot, nBuckets, chunk)
+      stageAndCommit(spark, pages, log, bucket, nBuckets, chunk)
     }
     todo
   }
 
   private def stageAndCommit(spark: SparkSession, pages: DataFrame,
-      log: SnapshotLog, hot: Set[String], nBuckets: Int,
+      log: SnapshotLog, bucket: org.apache.spark.sql.Column, nBuckets: Int,
       chunk: Vector[Int]): Unit = {
-    // The bucket is a pure function of url, so it is (re)computed on the
-    // extracted OUTPUT — the kernel column set stays clean and the input
-    // needs no bucket column threaded through the kernel expression.
+    // The bucket is a pure function of input columns, so it is (re)computed
+    // on the extracted OUTPUT — the kernel column set stays clean and the
+    // input needs no bucket column threaded through the kernel expression.
     val input =
       if (chunk.size == nBuckets) pages
-      else pages.filter(Pipeline.saltedBucket(hot, nBuckets)
-        .isin(chunk.map(Integer.valueOf): _*))
+      else pages.filter(bucket.isin(chunk.map(Integer.valueOf): _*))
     val stageRoot = log.stagingRoot()
     val extracted = Pipeline.extracted(input)
-      .withColumn("bucket", Pipeline.saltedBucket(hot, nBuckets))
+      .withColumn("bucket", bucket)
     extracted.write.mode("overwrite").partitionBy("bucket").parquet(stageRoot.toString)
+    // Per-bucket (url, lang) min/max for the manifest (VERDICT r4 #6): one
+    // aggregation over the STAGED parquet — a columnar scan of exactly the
+    // two stats columns plus the partition column, not a second kernel run.
+    // Collected rows are bounded by the chunk's bucket count.
+    import org.apache.spark.sql.functions.{col, min, max}
+    val anyStaged = chunk.exists(b =>
+      java.nio.file.Files.exists(stageRoot.resolve(s"bucket=$b")))
+    val stats: Map[Int, BucketStats] = if (!anyStaged) Map.empty
+    else spark.read.parquet(stageRoot.toString)
+      .groupBy(col("bucket"))
+      .agg(min(col("url")).as("umin"), max(col("url")).as("umax"),
+        min(col("lang")).as("lmin"), max(col("lang")).as("lmax"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1)) None // empty bucket: no bounds to record
+        else Some(r.getInt(0) -> BucketStats(r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+      }.toMap
     // schema of the staged DATA files: partitionBy moves `bucket` out
     val dataSchema = org.apache.spark.sql.types.StructType(
       extracted.schema.filterNot(_.name == "bucket"))
@@ -80,7 +108,7 @@ object ResumableRun {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
           .write.parquet(staged.toString)
-      log.commitBucket(b, staged)
+      log.commitBucket(b, staged, stats.get(b))
     }
     // only write-protocol leftovers (_SUCCESS) remain under the stage root
     SnapshotLog.deleteRecursively(stageRoot)
@@ -92,6 +120,34 @@ object ResumableRun {
     val paths = log.committedPaths()
     require(paths.nonEmpty, s"no committed snapshots under $tableDir")
     spark.read.parquet(paths: _*)
+  }
+
+  /** Bucket paths that SURVIVE stats pruning under `bounds` (every
+    * predicate is a conjunct): a bucket is skipped only when its manifest
+    * min/max bounds prove no row can satisfy some bound — the Iceberg
+    * file-skipping analog (VERDICT r4 #6). Buckets without recorded stats
+    * are always kept. Returns (kept, skipped). */
+  def prunedPaths(tableDir: String,
+      bounds: Seq[ColBound]): (Vector[String], Vector[String]) = {
+    val log = new SnapshotLog(tableDir)
+    val stats = log.bucketStats()
+    val (skip, keep) = log.committedBuckets().toVector.sorted.partition { b =>
+      stats.get(b).exists(s => bounds.exists(_.prunes(s)))
+    }
+    (keep.map(b => log.bucketDataDir(b).toString),
+      skip.map(b => log.bucketDataDir(b).toString))
+  }
+
+  /** Read the committed table with bucket-stats pruning: only buckets whose
+    * recorded (url, lang) bounds MAY satisfy every bound are opened. The
+    * caller must still apply the row-level filter — this shrinks the scan,
+    * it does not filter rows (same contract as partition pruning). On an
+    * empty survivor set, returns an empty frame with the table schema. */
+  def readTablePruned(spark: SparkSession, tableDir: String,
+      bounds: Seq[ColBound]): DataFrame = {
+    val (keep, _) = prunedPaths(tableDir, bounds)
+    if (keep.nonEmpty) spark.read.parquet(keep: _*)
+    else readTable(spark, tableDir).limit(0)
   }
 
   /** Time travel: read the table as of snapshot `version` (the Iceberg

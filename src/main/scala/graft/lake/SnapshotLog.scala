@@ -43,6 +43,21 @@ final class SnapshotLog(tableDir: String) {
   /** Buckets committed as of the latest snapshot. */
   def committedBuckets(): Set[Int] = committedBucketsAt(latestVersion())
 
+  /** Per-bucket (url, lang) min/max stats recorded in the latest manifest
+    * (VERDICT r4 #6 — the Iceberg file-skipping analog at bucket
+    * granularity). Buckets committed before stats existed, or with no rows,
+    * simply have no entry — readers treat missing stats as not-prunable. */
+  def bucketStats(): Map[Int, BucketStats] = bucketStatsAt(latestVersion())
+
+  def bucketStatsAt(v: Int): Map[Int, BucketStats] = {
+    if (v <= 0) Map.empty
+    else {
+      val manifest = snapsDir.resolve(s"v$v.json")
+      if (!Files.exists(manifest)) Map.empty
+      else SnapshotLog.parseStats(new String(Files.readAllBytes(manifest), "UTF-8"))
+    }
+  }
+
   /** Time travel: buckets committed as of manifest version `v` (0 = empty
     * table). Every manifest is retained, so any historical snapshot can be
     * read back — the Iceberg `VERSION AS OF` analog. */
@@ -86,7 +101,12 @@ final class SnapshotLog(tableDir: String) {
     * place, so the not-found window is two renames, not a recursive delete
     * (the previous delete-then-move ordering left a half-deleted bucket
     * visible for the whole delete). */
-  def commitBucket(bucket: Int, staged: Path): Unit = {
+  /** `stats = Some(s)` records fresh min/max bounds for this bucket in the
+    * new manifest; `None` CARRIES FORWARD the previous bounds (correct for
+    * rewrites of the same rows — compaction; a caller re-committing
+    * CHANGED data must pass fresh stats or the carried bounds go stale). */
+  def commitBucket(bucket: Int, staged: Path,
+      stats: Option[BucketStats] = None): Unit = {
     val dest = bucketDataDir(bucket)
     if (Files.exists(dest)) { // idempotent re-commit: move aside, swap, drop
       val aside = tmpDir.resolve(s"replaced-$bucket-${latestVersion()}")
@@ -96,9 +116,18 @@ final class SnapshotLog(tableDir: String) {
       deleteRecursively(aside)
     } else Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
     val newBuckets = committedBuckets() + bucket
+    val newStats = stats match {
+      case Some(s) => bucketStats() + (bucket -> s)
+      case None => bucketStats() // carry forward whatever was recorded
+    }
     val v = latestVersion() + 1
+    val statsJson = newStats.toVector.sortBy(_._1).map { case (b, s) =>
+      s""""$b":{"url_min":"${SnapshotLog.esc(s.urlMin)}","url_max":"${SnapshotLog.esc(s.urlMax)}",""" +
+        s""""lang_min":"${SnapshotLog.esc(s.langMin)}","lang_max":"${SnapshotLog.esc(s.langMax)}"}"""
+    }.mkString(",")
     val json =
-      s"""{"version":$v,"buckets":[${newBuckets.toVector.sorted.mkString(",")}]}"""
+      s"""{"version":$v,"buckets":[${newBuckets.toVector.sorted.mkString(",")}],""" +
+        s""""stats":{$statsJson}}"""
     Files.write(snapsDir.resolve(s"v$v.json"), json.getBytes("UTF-8"))
     val tmpLatest = snapsDir.resolve(s"LATEST.tmp")
     Files.write(tmpLatest, v.toString.getBytes("UTF-8"))
@@ -153,10 +182,77 @@ final class SnapshotLog(tableDir: String) {
   private def deleteRecursively(p: Path): Unit = SnapshotLog.deleteRecursively(p)
 }
 
+/** Per-bucket column bounds recorded in a manifest at commit time — the
+  * Iceberg per-file min/max stats analog, at the log's bucket granularity.
+  * Bounds are the COMMITTED rows' actual min/max (inclusive). */
+final case class BucketStats(urlMin: String, urlMax: String,
+    langMin: String, langMax: String)
+
+/** A pushable bucket-pruning predicate: `col op value` with op in
+  * {"=", "<=", ">="} over the stats-tracked columns ("url", "lang").
+  * Pruning is CONSERVATIVE: a bucket is skipped only when its recorded
+  * bounds prove no row can match; missing stats keep the bucket. Callers
+  * must still apply the row-level filter — pruning only shrinks the scan. */
+final case class ColBound(col: String, op: String, value: String) {
+  require(col == "url" || col == "lang", s"no stats for column $col")
+  require(Set("=", "<=", ">=").contains(op), s"unsupported op $op")
+
+  /** True when `stats` PROVES no row of the bucket satisfies this bound.
+    * String order: Spark compares strings by UTF-8 binary order while
+    * Java's compareTo is UTF-16 code-unit order — identical for ASCII, so
+    * pruning only engages when every operand is ASCII (else conservative). */
+  def prunes(stats: BucketStats): Boolean = {
+    val (lo, hi) = col match {
+      case "url" => (stats.urlMin, stats.urlMax)
+      case _ => (stats.langMin, stats.langMax)
+    }
+    def ascii(s: String) = s.forall(_ < 128)
+    if (!ascii(lo) || !ascii(hi) || !ascii(value)) false
+    else op match {
+      case "=" => value < lo || value > hi
+      case "<=" => lo > value // even the smallest row exceeds the bound
+      case ">=" => hi < value // even the largest row is below the bound
+    }
+  }
+}
+
 object SnapshotLog {
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.delete)
     }
   }
+
+  private[lake] def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val statsEntry =
+    (""""(\d+)":\{"url_min":"((?:[^"\\]|\\.)*)","url_max":"((?:[^"\\]|\\.)*)",""" +
+      """"lang_min":"((?:[^"\\]|\\.)*)","lang_max":"((?:[^"\\]|\\.)*)"\}""").r
+
+  private[lake] def parseStats(json: String): Map[Int, BucketStats] =
+    statsEntry.findAllMatchIn(json).map { m =>
+      m.group(1).toInt -> BucketStats(unesc(m.group(2)), unesc(m.group(3)),
+        unesc(m.group(4)), unesc(m.group(5)))
+    }.toMap
 }

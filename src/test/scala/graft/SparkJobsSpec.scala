@@ -814,6 +814,58 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.schema.fieldNames.toSet.contains("extracted_text"))
   }
 
+  test("bucket-stats pruning skips whole buckets on a clustered column; compaction carries stats") {
+    // VERDICT r4 #6: manifests record per-bucket (url, lang) min/max at
+    // commit time; a read with a pushable bound opens only buckets whose
+    // bounds may match. Pruning needs the column CLUSTERED with the bucket
+    // (the Iceberg reality too), so give each lang its own domain — the
+    // salted bucket is a domain hash, keeping each bucket lang-narrow.
+    import graft.lake.ColBound
+    val dir = tmp()
+    val p = pages
+    // partition spec clustering lang with the bucket (the configurable-spec
+    // path — the default salted url-hash spec defeats min/max pruning by
+    // construction, like any hash partitioning)
+    ResumableRun.run(spark, p, dir, nBuckets = 16,
+      bucketExpr = Some(pmod(xxhash64(col("lang")), lit(16))))
+    val log = new SnapshotLog(dir)
+    val stats = log.bucketStats()
+    assert(stats.nonEmpty, "no bucket stats recorded at commit time")
+    val langs = p.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.size >= 3, s"corpus too monolingual for the gate: $langs")
+    val target = langs.min
+    val (kept, skipped) = ResumableRun.prunedPaths(dir, Seq(ColBound("lang", "=", target)))
+    assert(skipped.nonEmpty, s"lang=$target pruned nothing: stats=$stats")
+    assert(kept.size < log.committedPaths().size,
+      s"pruned read must open fewer bucket paths (${kept.size} vs ${log.committedPaths().size})")
+    // correctness: pruned read + row filter == full read + row filter
+    val full = ResumableRun.readTable(spark, dir)
+      .filter(col("lang") === target).select("url").collect().map(_.getString(0)).toSet
+    val pruned = ResumableRun.readTablePruned(spark, dir, Seq(ColBound("lang", "=", target)))
+      .filter(col("lang") === target).select("url").collect().map(_.getString(0)).toSet
+    assert(full.nonEmpty && pruned == full)
+    // a bound beyond every recorded max prunes every stats-bearing bucket;
+    // the empty-survivor read still carries the table schema
+    val beyond = "https://" + "\u007f" // > any "https://<ascii-domain>" url
+    val (keptAll, _) = ResumableRun.prunedPaths(dir, Seq(ColBound("url", ">=", beyond)))
+    assert(keptAll.size == log.committedPaths().size - stats.size)
+    val none = ResumableRun.readTablePruned(spark, dir,
+      Seq(ColBound("url", ">=", beyond), ColBound("lang", "=", "zz")))
+    assert(none.count() == 0 && none.columns.contains("extracted_text"))
+    // compaction re-commits buckets with stats CARRIED FORWARD (same rows)
+    val compacted = graft.lake.Compaction.compact(spark, dir, maxFiles = 1)
+    if (compacted.nonEmpty) {
+      val after = new SnapshotLog(dir).bucketStats()
+      assert(after == stats, "compaction must carry bucket stats forward")
+      val prunedAfter = ResumableRun.readTablePruned(spark, dir,
+        Seq(ColBound("lang", "=", target)))
+        .filter(col("lang") === target).select("url").collect().map(_.getString(0)).toSet
+      assert(prunedAfter == full)
+    }
+    // time travel to v1 still resolves (stats do not affect historical reads)
+    assert(ResumableRun.readTableAsOf(spark, dir, 1).count() >= 0)
+  }
+
   test("compaction rewrites fragmented buckets; time travel survives; manifest expiry bounds the log") {
     val dir = tmp()
     val nBuckets = 4
