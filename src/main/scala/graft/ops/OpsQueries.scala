@@ -147,13 +147,21 @@ object OpsQueries {
     * no shuffle sees the quadratic set. */
   private[graft] def expandMemberPairs(repPairs: DataFrame, groups: DataFrame,
       withinValues: Seq[(String, Column)] = Nil): DataFrame = {
-    val mem = groups.select(col("doc_id").as("rep_id"), col("members"))
+    // only MULTI-member clusters join the expansion (on real corpora the
+    // overwhelming majority of contents are singletons — joining the full
+    // membership relation would shuffle the whole corpus to expand what is
+    // usually nothing); singleton reps fall through the left joins and
+    // expand to themselves via the coalesce'd one-element array
+    val multi = groups.filter(size(col("members")) > 1)
+      .select(col("doc_id").as("rep_id"), col("members"))
     val extra = repPairs.columns.filterNot(c => c == "a_id" || c == "b_id").toSeq
     val cross = repPairs
-      .join(mem.select(col("rep_id").as("a_id"), col("members").as("a_ms")), Seq("a_id"))
-      .join(mem.select(col("rep_id").as("b_id"), col("members").as("b_ms")), Seq("b_id"))
-      .withColumn("am", explode(col("a_ms")))
-      .withColumn("bm", explode(col("b_ms")))
+      .join(multi.select(col("rep_id").as("a_id"), col("members").as("a_ms")),
+        Seq("a_id"), "left")
+      .join(multi.select(col("rep_id").as("b_id"), col("members").as("b_ms")),
+        Seq("b_id"), "left")
+      .withColumn("am", explode(coalesce(col("a_ms"), array(col("a_id")))))
+      .withColumn("bm", explode(coalesce(col("b_ms"), array(col("b_id")))))
       .select(Seq(least(col("am"), col("bm")).as("a_id"),
         greatest(col("am"), col("bm")).as("b_id")) ++ extra.map(col): _*)
     val within = groups.filter(size(col("members")) > 1)
