@@ -117,6 +117,10 @@ object Bench {
     // 0.87-0.93 on identical code); the median of 5 tolerates two bad
     // windows. Pair A also stays FIRST in the bench: it runs in the
     // coolest host window, before any sustained all-core load.
+    // The driver invokes Bench right after its correctness run — let the
+    // host cool before the first (most load-bearing) trial rather than
+    // inheriting whatever sustained load preceded the bench.
+    (1 to 6).foreach(_ => cooldown())
     val ratio = smallCores.toDouble / tinyCores
     val trials = (0 until 5).map { trial =>
       if (trial > 0) { cooldown(); cooldown(); cooldown() }

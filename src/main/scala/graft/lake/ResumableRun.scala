@@ -81,19 +81,25 @@ object ResumableRun {
     // aggregation over the STAGED parquet — a columnar scan of exactly the
     // two stats columns plus the partition column, not a second kernel run.
     // Collected rows are bounded by the chunk's bucket count.
-    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.functions.{col, date_format, min, max}
     val anyStaged = chunk.exists(b =>
       java.nio.file.Files.exists(stageRoot.resolve(s"bucket=$b")))
+    // warc_ts bounds as fixed-width UTC strings so the string min/max
+    // machinery orders them chronologically (BucketStats scaladoc)
+    val tsStr = date_format(col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
     val stats: Map[Int, BucketStats] = if (!anyStaged) Map.empty
     else spark.read.parquet(stageRoot.toString)
       .groupBy(col("bucket"))
       .agg(min(col("url")).as("umin"), max(col("url")).as("umax"),
-        min(col("lang")).as("lmin"), max(col("lang")).as("lmax"))
+        min(col("lang")).as("lmin"), max(col("lang")).as("lmax"),
+        min(tsStr).as("tmin"), max(tsStr).as("tmax"))
       .collect()
       .flatMap { r =>
         if (r.isNullAt(1)) None // empty bucket: no bounds to record
         else Some(r.getInt(0) -> BucketStats(r.getString(1), r.getString(2),
-          r.getString(3), r.getString(4)))
+          r.getString(3), r.getString(4),
+          if (r.isNullAt(5)) "" else r.getString(5),
+          if (r.isNullAt(6)) "" else r.getString(6)))
       }.toMap
     // schema of the staged DATA files: partitionBy moves `bucket` out
     val dataSchema = org.apache.spark.sql.types.StructType(

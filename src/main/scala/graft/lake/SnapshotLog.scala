@@ -123,7 +123,8 @@ final class SnapshotLog(tableDir: String) {
     val v = latestVersion() + 1
     val statsJson = newStats.toVector.sortBy(_._1).map { case (b, s) =>
       s""""$b":{"url_min":"${SnapshotLog.esc(s.urlMin)}","url_max":"${SnapshotLog.esc(s.urlMax)}",""" +
-        s""""lang_min":"${SnapshotLog.esc(s.langMin)}","lang_max":"${SnapshotLog.esc(s.langMax)}"}"""
+        s""""lang_min":"${SnapshotLog.esc(s.langMin)}","lang_max":"${SnapshotLog.esc(s.langMax)}",""" +
+        s""""ts_min":"${SnapshotLog.esc(s.tsMin)}","ts_max":"${SnapshotLog.esc(s.tsMax)}"}"""
     }.mkString(",")
     val json =
       s"""{"version":$v,"buckets":[${newBuckets.toVector.sorted.mkString(",")}],""" +
@@ -184,9 +185,13 @@ final class SnapshotLog(tableDir: String) {
 
 /** Per-bucket column bounds recorded in a manifest at commit time — the
   * Iceberg per-file min/max stats analog, at the log's bucket granularity.
-  * Bounds are the COMMITTED rows' actual min/max (inclusive). */
+  * Bounds are the COMMITTED rows' actual min/max (inclusive). Timestamps
+  * are fixed-width `yyyy-MM-dd HH:mm:ss` UTC strings, so lexicographic
+  * comparison equals chronological comparison and the one string pruning
+  * mechanism serves all three columns (the "read the November crawl
+  * snapshot" query is the canonical time-range prune). */
 final case class BucketStats(urlMin: String, urlMax: String,
-    langMin: String, langMax: String)
+    langMin: String, langMax: String, tsMin: String = "", tsMax: String = "")
 
 /** A pushable bucket-pruning predicate: `col op value` with op in
   * {"=", "<=", ">="} over the stats-tracked columns ("url", "lang").
@@ -194,7 +199,8 @@ final case class BucketStats(urlMin: String, urlMax: String,
   * bounds prove no row can match; missing stats keep the bucket. Callers
   * must still apply the row-level filter — pruning only shrinks the scan. */
 final case class ColBound(col: String, op: String, value: String) {
-  require(col == "url" || col == "lang", s"no stats for column $col")
+  require(col == "url" || col == "lang" || col == "warc_ts",
+    s"no stats for column $col")
   require(Set("=", "<=", ">=").contains(op), s"unsupported op $op")
 
   /** True when `stats` PROVES no row of the bucket satisfies this bound.
@@ -204,10 +210,12 @@ final case class ColBound(col: String, op: String, value: String) {
   def prunes(stats: BucketStats): Boolean = {
     val (lo, hi) = col match {
       case "url" => (stats.urlMin, stats.urlMax)
+      case "warc_ts" => (stats.tsMin, stats.tsMax)
       case _ => (stats.langMin, stats.langMax)
     }
     def ascii(s: String) = s.forall(_ < 128)
-    if (!ascii(lo) || !ascii(hi) || !ascii(value)) false
+    if (lo.isEmpty || hi.isEmpty) false // bounds unknown: keep the bucket
+    else if (!ascii(lo) || !ascii(hi) || !ascii(value)) false
     else op match {
       case "=" => value < lo || value > hi
       case "<=" => lo > value // even the smallest row exceeds the bound
@@ -246,13 +254,19 @@ object SnapshotLog {
     sb.toString
   }
 
+  // the ts fields are optional in the pattern so manifests written before
+  // timestamp bounds existed still parse (their ts bounds read as empty =
+  // unknown, which pruning treats as not-prunable)
   private val statsEntry =
     (""""(\d+)":\{"url_min":"((?:[^"\\]|\\.)*)","url_max":"((?:[^"\\]|\\.)*)",""" +
-      """"lang_min":"((?:[^"\\]|\\.)*)","lang_max":"((?:[^"\\]|\\.)*)"\}""").r
+      """"lang_min":"((?:[^"\\]|\\.)*)","lang_max":"((?:[^"\\]|\\.)*)"""" +
+      """(?:,"ts_min":"((?:[^"\\]|\\.)*)","ts_max":"((?:[^"\\]|\\.)*)")?\}""").r
 
   private[lake] def parseStats(json: String): Map[Int, BucketStats] =
     statsEntry.findAllMatchIn(json).map { m =>
       m.group(1).toInt -> BucketStats(unesc(m.group(2)), unesc(m.group(3)),
-        unesc(m.group(4)), unesc(m.group(5)))
+        unesc(m.group(4)), unesc(m.group(5)),
+        Option(m.group(6)).map(unesc).getOrElse(""),
+        Option(m.group(7)).map(unesc).getOrElse(""))
     }.toMap
 }

@@ -864,6 +864,24 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // time travel to v1 still resolves (stats do not affect historical reads)
     assert(ResumableRun.readTableAsOf(spark, dir, 1).count() >= 0)
+
+    // time-range pruning: a crawl table partitioned by time window answers
+    // "read the recent snapshot" without opening older buckets (warc_ts
+    // bounds ride the manifests as fixed-width UTC strings)
+    val dirT = tmp()
+    ResumableRun.run(spark, p, dirT, nBuckets = 16,
+      bucketExpr = Some(pmod(floor(col("warc_ts").cast("long") / 21600L), lit(16))))
+    val cut = "2023-11-16 00:00:00" // corpus spans ~3.5 days from 2023-11-14
+    val (keptT, skippedT) = ResumableRun.prunedPaths(dirT,
+      Seq(ColBound("warc_ts", ">=", cut)))
+    assert(skippedT.nonEmpty, "time cut pruned no buckets")
+    assert(keptT.size < new SnapshotLog(dirT).committedPaths().size)
+    val fullT = ResumableRun.readTable(spark, dirT)
+      .filter(col("warc_ts") >= lit(cut).cast("timestamp")).count()
+    val prunedT = ResumableRun.readTablePruned(spark, dirT,
+      Seq(ColBound("warc_ts", ">=", cut)))
+      .filter(col("warc_ts") >= lit(cut).cast("timestamp")).count()
+    assert(fullT > 0 && prunedT == fullT)
   }
 
   test("compaction rewrites fragmented buckets; time travel survives; manifest expiry bounds the log") {
