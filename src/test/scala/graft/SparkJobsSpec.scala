@@ -629,6 +629,47 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(embOut.filter(col("a_id") === 3L && col("b_id") === 300001L).count() == 1)
   }
 
+  test("collapsed LSH banding equals direct banding of every doc (pair-set identity)") {
+    // implementation-independent gate for the duplicate-cluster collapse:
+    // on a corpus with duplicate clusters of sizes 1/2/3/7, the collapsed
+    // pipeline's output pair set must EQUAL banding every doc directly
+    // (the pre-round-5 formulation, reconstructed here from the same
+    // primitives)
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp()
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 120)
+    val srcs = base.filter(size(split(col("text"), "\\s+")) >= 40)
+      .orderBy("doc_id").limit(3).collect()
+    assert(srcs.length == 3)
+    val clusters = Seq(srcs(0) -> 1, srcs(1) -> 2, srcs(2) -> 6).zipWithIndex
+      .flatMap { case ((r, n), ci) =>
+        (0 until n).map(k => (500000L + ci * 1000L + k, r.getString(1)))
+      }
+    base.unionAll(clusters.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val collapsed = SparkEntry.queries("dd_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // direct banding of EVERY doc (no collapse) — the reference formulation
+    val nHashes = 16; val bandRows = 4
+    val every = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        OpsQueries.minhashFused(col("t"), 3, nHashes).as("sigs"))
+    val direct = OpsQueries.repCandidates(
+      OpsQueries.bandBuckets(every, nHashes, bandRows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collapsed == direct,
+      s"collapse changed the pair set: only-collapsed=${(collapsed -- direct).take(5)} " +
+        s"only-direct=${(direct -- collapsed).take(5)}")
+    // sanity: the planted clusters actually produced within-pairs
+    assert(collapsed.contains((501000L, 501001L)) && collapsed.contains((502000L, 502005L)))
+  }
+
   test("native graft_cosine matches the HOF formulation and plans into WholeStageCodegen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val x = e.select(col("vec_id").as("id"), col("embedding").as("ae"))
