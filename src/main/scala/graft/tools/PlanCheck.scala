@@ -19,7 +19,7 @@ object PlanCheck {
 
     val interesting = Vector(
       "x_extract", "x_links", "q_agg", "q_join_collect", "q_forward_fill",
-      "q_topk", "q_topk_custom", "dd_minhash_lsh", "dd_exact",
+      "q_topk", "q_topk_custom", "dd_minhash_lsh", "dd_jaccard_lsh", "dd_exact",
       "dd_embed_neardup", "ann_topk", "ann_ivf", "ta_langid",
       "q_time_window", "q_asof_join", "ta_sample", "dd_simhash",
       "q_bucketed_join")
@@ -64,6 +64,14 @@ object PlanCheck {
             exchanges <= 2 && plan.contains("Window"))
         case "dd_exact" =>
           check("hash aggregate (not sort-based)", plan.contains("HashAggregate"))
+        case "dd_jaccard_lsh" =>
+          check("fused graft_minhash_sigs expression planned",
+            plan.contains("graft_minhash_sigs"))
+          // measured round 5: candidate-only shset variants re-execute the
+          // band join (no cross-subtree exchange reuse) and lose 2-3x at
+          // this scale — the rerank joins the full shset relation by id
+          check("exactly one band self-join (no candidate-id re-derivation)",
+            "Exchange hashpartitioning\\(band".r.findAllIn(plan).size <= 2)
         case "dd_minhash_lsh" =>
           // round 4: signatures are one fused per-row expression — no
           // shingle explode / min-agg before the join. Round 5 adds the
