@@ -81,25 +81,34 @@ object ResumableRun {
     // aggregation over the STAGED parquet — a columnar scan of exactly the
     // two stats columns plus the partition column, not a second kernel run.
     // Collected rows are bounded by the chunk's bucket count.
-    import org.apache.spark.sql.functions.{col, date_format, min, max}
+    import org.apache.spark.sql.functions.{col, min, max}
     val anyStaged = chunk.exists(b =>
       java.nio.file.Files.exists(stageRoot.resolve(s"bucket=$b")))
-    // warc_ts bounds as fixed-width UTC strings so the string min/max
-    // machinery orders them chronologically (BucketStats scaladoc)
-    val tsStr = date_format(col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+    // warc_ts bounds: min/max the RAW timestamp (an absolute instant —
+    // timezone-free) and render driver-side with an explicit UTC
+    // formatter. date_format would render in spark.sql.session.timeZone,
+    // so a non-UTC writer session would record shifted bounds a UTC
+    // reader then prunes WRONGLY with (round-5 review). Truncation to
+    // whole seconds is sound: it only LOWERS each bound, and ColBound
+    // values are second-granularity, so a `hi < value` prune still
+    // implies value > trueMax (the sub-second remainder is < the 1s
+    // granularity step) — pruning stays conservative.
+    val utcFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.ROOT)
+      .withZone(java.time.ZoneOffset.UTC)
+    def fmt(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "" else utcFmt.format(r.getTimestamp(i).toInstant)
     val stats: Map[Int, BucketStats] = if (!anyStaged) Map.empty
     else spark.read.parquet(stageRoot.toString)
       .groupBy(col("bucket"))
       .agg(min(col("url")).as("umin"), max(col("url")).as("umax"),
         min(col("lang")).as("lmin"), max(col("lang")).as("lmax"),
-        min(tsStr).as("tmin"), max(tsStr).as("tmax"))
+        min(col("warc_ts")).as("tmin"), max(col("warc_ts")).as("tmax"))
       .collect()
       .flatMap { r =>
         if (r.isNullAt(1)) None // empty bucket: no bounds to record
         else Some(r.getInt(0) -> BucketStats(r.getString(1), r.getString(2),
-          r.getString(3), r.getString(4),
-          if (r.isNullAt(5)) "" else r.getString(5),
-          if (r.isNullAt(6)) "" else r.getString(6)))
+          r.getString(3), r.getString(4), fmt(r, 5), fmt(r, 6)))
       }.toMap
     // schema of the staged DATA files: partitionBy moves `bucket` out
     val dataSchema = org.apache.spark.sql.types.StructType(

@@ -66,14 +66,7 @@ final class SnapshotLog(tableDir: String) {
     else {
       val manifest = snapsDir.resolve(s"v$v.json")
       require(Files.exists(manifest), s"no snapshot v$v under $snapsDir")
-      val json = new String(Files.readAllBytes(manifest))
-      // manifest format: {"version":K,"buckets":[1,2,3]}
-      val m = """"buckets"\s*:\s*\[([0-9,\s]*)\]""".r
-      m.findFirstMatchIn(json) match {
-        case Some(g) =>
-          g.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
-        case None => Set.empty
-      }
+      SnapshotLog.parseBuckets(new String(Files.readAllBytes(manifest), "UTF-8"))
     }
   }
 
@@ -104,31 +97,38 @@ final class SnapshotLog(tableDir: String) {
   /** `stats = Some(s)` records fresh min/max bounds for this bucket in the
     * new manifest; `None` CARRIES FORWARD the previous bounds (correct for
     * rewrites of the same rows — compaction; a caller re-committing
-    * CHANGED data must pass fresh stats or the carried bounds go stale). */
+    * CHANGED data must pass fresh stats or the carried bounds go stale).
+    *
+    * The previous manifest is read and parsed ONCE per commit (round-5
+    * review — the per-field helper calls re-read it several times). Each
+    * manifest still lists every committed bucket, so a B-bucket table
+    * writes O(B) manifest bytes per commit — the same bound as Iceberg's
+    * manifest lists, amortized there by multi-bucket commits, here by
+    * [[ResumableRun]]'s chunked staging (many buckets per job, few
+    * commits). */
   def commitBucket(bucket: Int, staged: Path,
       stats: Option[BucketStats] = None): Unit = {
+    val v0 = latestVersion()
     val dest = bucketDataDir(bucket)
     if (Files.exists(dest)) { // idempotent re-commit: move aside, swap, drop
-      val aside = tmpDir.resolve(s"replaced-$bucket-${latestVersion()}")
+      val aside = tmpDir.resolve(s"replaced-$bucket-$v0")
       if (Files.exists(aside)) deleteRecursively(aside)
       Files.move(dest, aside, StandardCopyOption.ATOMIC_MOVE)
       Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(aside)
     } else Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
-    val newBuckets = committedBuckets() + bucket
+    val json0 =
+      if (v0 <= 0) ""
+      else new String(Files.readAllBytes(snapsDir.resolve(s"v$v0.json")), "UTF-8")
+    val newBuckets = SnapshotLog.parseBuckets(json0) + bucket
     val newStats = stats match {
-      case Some(s) => bucketStats() + (bucket -> s)
-      case None => bucketStats() // carry forward whatever was recorded
+      case Some(s) => SnapshotLog.parseStats(json0) + (bucket -> s)
+      case None => SnapshotLog.parseStats(json0) // carry forward
     }
-    val v = latestVersion() + 1
-    val statsJson = newStats.toVector.sortBy(_._1).map { case (b, s) =>
-      s""""$b":{"url_min":"${SnapshotLog.esc(s.urlMin)}","url_max":"${SnapshotLog.esc(s.urlMax)}",""" +
-        s""""lang_min":"${SnapshotLog.esc(s.langMin)}","lang_max":"${SnapshotLog.esc(s.langMax)}",""" +
-        s""""ts_min":"${SnapshotLog.esc(s.tsMin)}","ts_max":"${SnapshotLog.esc(s.tsMax)}"}"""
-    }.mkString(",")
+    val v = v0 + 1
     val json =
       s"""{"version":$v,"buckets":[${newBuckets.toVector.sorted.mkString(",")}],""" +
-        s""""stats":{$statsJson}}"""
+        s""""stats":{${SnapshotLog.encodeStats(newStats)}}}"""
     Files.write(snapsDir.resolve(s"v$v.json"), json.getBytes("UTF-8"))
     val tmpLatest = snapsDir.resolve(s"LATEST.tmp")
     Files.write(tmpLatest, v.toString.getBytes("UTF-8"))
@@ -147,22 +147,39 @@ final class SnapshotLog(tableDir: String) {
   def committedPathsAt(v: Int): Vector[String] =
     committedBucketsAt(v).toVector.sorted.map(b => bucketDataDir(b).toString)
 
-  /** Remove orphaned staging dirs left under `_tmp` by runs killed during
-    * staging or the commit loop (ADVICE r3): a restarted run computes a new
-    * stagingRoot from the advanced version and would never clean the old
-    * one, leaking staged parquet forever. Single-writer assumption (same as
-    * the rest of the log) makes ANY existing stage dir garbage. Matches all
-    * three scratch-name shapes (ADVICE r4 — the `<bucket>-<v>-stage` suffix
-    * pattern from [[stagingDir]] and `replaced-*` from a commit killed
-    * mid-swap were previously never swept). */
+  /** Recover from a commit killed mid-swap, then remove orphaned staging
+    * dirs left under `_tmp` by runs killed during staging or the commit
+    * loop (ADVICE r3): a restarted run computes a new stagingRoot from the
+    * advanced version and would never clean the old one, leaking staged
+    * parquet forever. Single-writer assumption (same as the rest of the
+    * log).
+    *
+    * Recovery MUST run before deletion: a re-commit swap that died between
+    * its two renames leaves the bucket's only committed data in
+    * `replaced-<bucket>-<v>` with `data/bucket=<bucket>` missing — that
+    * dir is the manifest's referenced data, not garbage, so it is MOVED
+    * BACK first (round-5 review: the earlier indiscriminate sweep would
+    * have destroyed it, turning a crash window into permanent loss).
+    * `replaced-*` dirs whose bucket dir EXISTS are leftovers of a swap
+    * that completed its second rename, and stage dirs (`stage-*` /
+    * `<bucket>-<v>-stage`) are re-creatable job output — both garbage. */
   def sweepStaleStages(): Unit =
-    if (Files.exists(tmpDir))
-      Files.list(tmpDir).iterator().asScala.toVector
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("stage-") || n.endsWith("-stage") || n.startsWith("replaced-")
+    if (Files.exists(tmpDir)) {
+      val entries = Files.list(tmpDir).iterator().asScala.toVector
+      val replaced = "replaced-(\\d+)-\\d+".r
+      entries.foreach { p =>
+        p.getFileName.toString match {
+          case replaced(b) if !Files.exists(bucketDataDir(b.toInt)) =>
+            Files.move(p, bucketDataDir(b.toInt), StandardCopyOption.ATOMIC_MOVE)
+          case _ => ()
         }
-        .foreach(SnapshotLog.deleteRecursively)
+      }
+      entries.filter { p =>
+        val n = p.getFileName.toString
+        Files.exists(p) && // not just restored above
+          (n.startsWith("stage-") || n.endsWith("-stage") || n.startsWith("replaced-"))
+      }.foreach(SnapshotLog.deleteRecursively)
+    }
 
   /** Expire old manifests, keeping the most recent `keepLast` versions (the
     * Iceberg `expireSnapshots` analog — the operational half of snapshot
@@ -257,6 +274,25 @@ object SnapshotLog {
   // the ts fields are optional in the pattern so manifests written before
   // timestamp bounds existed still parse (their ts bounds read as empty =
   // unknown, which pruning treats as not-prunable)
+  /** The production stats encoder — also exercised directly by
+    * SnapshotLogSpec's round-trip vectors so the test cannot drift from
+    * the writer (round-5 review). */
+  private[lake] def encodeStats(stats: Map[Int, BucketStats]): String =
+    stats.toVector.sortBy(_._1).map { case (b, s) =>
+      s""""$b":{"url_min":"${esc(s.urlMin)}","url_max":"${esc(s.urlMax)}",""" +
+        s""""lang_min":"${esc(s.langMin)}","lang_max":"${esc(s.langMax)}",""" +
+        s""""ts_min":"${esc(s.tsMin)}","ts_max":"${esc(s.tsMax)}"}"""
+    }.mkString(",")
+
+  /** Bucket list of a manifest json ({"version":K,"buckets":[1,2,3],...});
+    * empty input parses as the empty table. */
+  private[lake] def parseBuckets(json: String): Set[Int] =
+    """"buckets"\s*:\s*\[([0-9,\s]*)\]""".r.findFirstMatchIn(json) match {
+      case Some(g) =>
+        g.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+      case None => Set.empty
+    }
+
   private val statsEntry =
     (""""(\d+)":\{"url_min":"((?:[^"\\]|\\.)*)","url_max":"((?:[^"\\]|\\.)*)",""" +
       """"lang_min":"((?:[^"\\]|\\.)*)","lang_max":"((?:[^"\\]|\\.)*)"""" +

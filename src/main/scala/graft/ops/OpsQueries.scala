@@ -349,7 +349,15 @@ object OpsQueries {
     // threshold makes it DuckDB-oracle-able (ids only; float noise cannot
     // flip 0.9999-vs-0.51 against a 0.92 cut). ------------------------------
     "dd_embed_neardup" -> ((s: SparkSession, dir: String) => {
+      // zero-norm vectors are dropped up front: their cosine is NaN, so
+      // direct banding could never emit them past the threshold — but the
+      // collapse's within-cluster expansion assumes similarity 1.0 "by
+      // construction", which only holds for vectors that HAVE a direction.
+      // Dropping them keeps the expanded output exactly equal to direct
+      // banding on every input (degenerate-vector dedup is dd_exact's
+      // kind of job, like empty docs for the text paths).
       val corpus = Ann.withTwins(embs(s, dir))
+        .filter(exists(col("embedding"), x => x =!= 0.0))
       // Exact-duplicate collapse (VERDICT r4 #2), embedding edition: one
       // banded representative per DISTINCT vector (groupBy on the embedding
       // itself — exact, no hash-collision risk), pairs re-expanded through

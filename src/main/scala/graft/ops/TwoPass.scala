@@ -115,8 +115,11 @@ object TwoPass {
     // get_metadata_summary analog (metadata_extractor.py:554-599, VERDICT r4
     // #7): presence flags + quantitative metrics as a quick-assessment
     // projection. file_size_mb = round(bytes/1024^2, 2) with Python round's
-    // HALF_EVEN (bround); `application` defaults to 'Unknown' like the
-    // reference (:592). All columns scalar (per the x_meta lesson). The
+    // HALF_EVEN (bround); `application` passes through VERBATIM — the
+    // reference's `.get('application', 'Unknown')` default (:592) is dead
+    // code because _extract_application_properties always initializes the
+    // key to '' (:314), so the summary emits '' for unknown applications.
+    // All columns scalar (per the x_meta lesson). The
     // page-bytes join is a test-scale convenience — a production table
     // stores file_size as a column at ingest; here it's recomputed from the
     // pages scan (DSv2 prunes to url+html) and joined back by url.
@@ -131,8 +134,7 @@ object TwoPass {
           col("meta.created_date").as("creation_date"),
           col("meta.modified_date").as("last_modified"),
           (col("meta.keywords") =!= "").as("has_keywords"),
-          when(col("meta.application") === "", "Unknown")
-            .otherwise(col("meta.application")).as("application"))
+          col("meta.application").as("application"))
         .join(sizes, Seq("url"))
         .withColumn("file_size_mb",
           when(col("file_size") > 0, bround(col("file_size") / 1048576.0, 2)))

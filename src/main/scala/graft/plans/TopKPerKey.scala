@@ -67,6 +67,19 @@ final case class TopKPerKeyExec(
     val groupExprsLocal = groupExprs
     val orderLocal = order
     val kLocal = k
+    val partialLocal = partial
+    // Memory fallback for the PARTIAL (round-5 review): on high-cardinality
+    // keys (keep-best-per-url dedup) a map-side heap per key retains ~the
+    // whole partition where rows previously streamed straight into the
+    // exchange. Beyond this many keys the partial stops admitting new
+    // heaps and passes overflow-key rows through unchanged — emitting
+    // MORE than top-k from the partial is always correct (the clustered
+    // final pass prunes exactly), so this is the ObjectHashAggregate
+    // fallback shape: bounded memory, graceful degradation to the
+    // no-partial plan for the keys past the cap.
+    val maxPartialKeys =
+      if (partial) conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
+      else Int.MaxValue // the final MUST group every key it receives
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val rowOrdering = GenerateOrdering.generate(Seq(orderLocal), childOutput)
@@ -74,29 +87,35 @@ final case class TopKPerKeyExec(
       // ordering so the worst retained row is at the head)
       val heaps = new java.util.HashMap[InternalRow,
         java.util.PriorityQueue[InternalRow]]()
-      rows.foreach { row =>
+      val passedThrough = rows.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1,
-            rowOrdering.reversed())
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (rowOrdering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap == null && heaps.size() >= maxPartialKeys) {
+          // overflow key on a partial: stream the row to the exchange
+          // (consumed before the next iterator step — no copy needed)
+          Iterator.single(row)
+        } else {
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1,
+              rowOrdering.reversed())
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kLocal) heap.add(row.copy())
+          else if (rowOrdering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+          Iterator.empty
         }
       }
-      // Lazy emission: drain one k-bounded heap at a time (ascending order of
-      // the SortOrder within each key) — no whole-partition output buffer.
-      // Retained memory = k rows per distinct key in this partition, the same
-      // key-space bound as a hash aggregate over the same grouping; like
-      // ObjectHashAggregate pre-fallback this assumes the clustered key space
-      // per partition fits on heap (holds when k*|keys|/P << heap; for
-      // pathological key cardinality use the window formulation instead).
+      // Lazy emission: pass-through rows stream first (while heaps fill),
+      // then one k-bounded heap drains at a time (ascending order of the
+      // SortOrder within each key) — no whole-partition output buffer.
+      // Retained memory = k rows per key for at most maxPartialKeys keys
+      // on a partial; on the final, k rows per distinct clustered key —
+      // the same key-space bound as a hash aggregate over the grouping.
       import scala.jdk.CollectionConverters._
-      heaps.values.iterator.asScala.flatMap { h =>
+      passedThrough ++ heaps.values.iterator.asScala.flatMap { h =>
         val drained = new Array[InternalRow](h.size)
         var i = drained.length - 1
         while (i >= 0) { drained(i) = h.poll(); i -= 1 }

@@ -195,8 +195,9 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getBoolean(2) == (m.getString(2) != ""), s"has_author($url)")
       assert(r.getInt(3) == m.getInt(3), s"slide_count($url)")
       assert(r.getBoolean(6) == (m.getString(4) != ""), s"has_keywords($url)")
-      val expApp = if (m.getString(5) == "") "Unknown" else m.getString(5)
-      assert(r.getString(7) == expApp, s"application($url)")
+      // verbatim passthrough: the reference's 'Unknown' .get default is
+      // dead code (the key is always initialized to '')
+      assert(r.getString(7) == m.getString(5), s"application($url)")
       val expMb = new java.math.BigDecimal(sizes(url) / 1048576.0)
         .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
       assert(math.abs(r.getDouble(8) - expMb) < 1e-9, s"file_size_mb($url)")
@@ -447,6 +448,16 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val iPartial = plan.indexOf("TopKPerKeyPartial")
     assert(iFinal >= 0 && iFinal < iEx && iEx < iPartial,
       s"expected final > Exchange > partial ordering:\n$plan")
+    // memory fallback: with the partial capped to 4 keys, overflow-key rows
+    // pass through un-heaped and the clustered final still prunes exactly
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "4")
+    try {
+      val viaCapped = GraftBridge.topKPerKey(orders, Seq("o_custkey"), "o_totalprice", 3)
+        .select("o_custkey", "o_totalprice").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(viaCapped == viaWindow, "capped partial changed the result")
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
   }
 
   test("dd_embed_neardup (banded LSH + exact rerank) equals brute force, no BNLJ") {

@@ -10,11 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class SnapshotLogSpec extends AnyFunSuite {
 
   private def roundTrip(stats: Map[Int, BucketStats]): Map[Int, BucketStats] = {
-    val json = stats.toVector.sortBy(_._1).map { case (b, s) =>
-      s""""$b":{"url_min":"${SnapshotLog.esc(s.urlMin)}","url_max":"${SnapshotLog.esc(s.urlMax)}",""" +
-        s""""lang_min":"${SnapshotLog.esc(s.langMin)}","lang_max":"${SnapshotLog.esc(s.langMax)}",""" +
-        s""""ts_min":"${SnapshotLog.esc(s.tsMin)}","ts_max":"${SnapshotLog.esc(s.tsMax)}"}"""
-    }.mkString("""{"version":9,"buckets":[0],"stats":{""", ",", "}}")
+    // uses the PRODUCTION encoder (SnapshotLog.encodeStats), so writer
+    // drift fails this spec instead of silently breaking real manifests
+    val json = s"""{"version":9,"buckets":[0],"stats":{${SnapshotLog.encodeStats(stats)}}}"""
     SnapshotLog.parseStats(json)
   }
 
@@ -36,6 +34,47 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(parsed == Map(4 -> BucketStats("https://a", "https://b", "en", "fr", "", "")))
     // unknown ts bounds never prune
     assert(!ColBound("warc_ts", ">=", "2024-01-01 00:00:00").prunes(parsed(4)))
+  }
+
+  test("mid-swap crash recovery: replaced-* restores a missing bucket dir, garbage still sweeps") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("snaplog-test")
+    val log = new SnapshotLog(root.toString)
+    log.init()
+    // commit bucket 3 with one data file
+    val staged = root.resolve("_tmp").resolve("3-0-stage")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-0.parquet"), "ORIGINAL".getBytes("UTF-8"))
+    log.commitBucket(3, staged)
+    assert(log.committedBuckets() == Set(3))
+    // simulate a re-commit killed BETWEEN its two renames: the committed
+    // data sits in replaced-3-1, the bucket dir is gone, the new data is
+    // still in its stage dir
+    val aside = root.resolve("_tmp").resolve("replaced-3-1")
+    Files.move(log.bucketDataDir(3), aside, StandardCopyOption.ATOMIC_MOVE)
+    val deadStage = root.resolve("_tmp").resolve("3-1-stage")
+    Files.createDirectories(deadStage)
+    Files.write(deadStage.resolve("part-0.parquet"), "UNCOMMITTED".getBytes("UTF-8"))
+    assert(!Files.exists(log.bucketDataDir(3)))
+
+    log.sweepStaleStages()
+    // the manifest-referenced data is BACK, byte-identical
+    val restored = new String(Files.readAllBytes(
+      log.bucketDataDir(3).resolve("part-0.parquet")), "UTF-8")
+    assert(restored == "ORIGINAL")
+    // the dead stage and the (now consumed) aside dir are gone
+    assert(!Files.exists(deadStage) && !Files.exists(aside))
+
+    // a replaced-* whose bucket dir EXISTS is a completed swap's leftover:
+    // swept, and the live data untouched
+    val leftover = root.resolve("_tmp").resolve("replaced-3-2")
+    Files.createDirectories(leftover)
+    Files.write(leftover.resolve("part-0.parquet"), "OLD".getBytes("UTF-8"))
+    log.sweepStaleStages()
+    assert(!Files.exists(leftover))
+    assert(new String(Files.readAllBytes(
+      log.bucketDataDir(3).resolve("part-0.parquet")), "UTF-8") == "ORIGINAL")
+    SnapshotLog.deleteRecursively(root)
   }
 
   test("ColBound pruning truth table") {
