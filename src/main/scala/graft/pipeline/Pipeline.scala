@@ -149,23 +149,30 @@ object Pipeline {
     * at most 1/share of them can exist). */
   def hotDomains(pages: DataFrame, share: Double = defaultHotThresholdShare,
       minSampleRows: Long = 10000L): Map[String, Long] = {
+    // each aggregated frame feeds TWO actions (total, then the filtered
+    // collect); persist the tiny aggregate so the scan+groupBy runs once,
+    // not twice per branch (round-5 review — the fallback branch was
+    // otherwise exactly the "two full passes" the docstring disclaims)
+    def cutAndCollect(counts: DataFrame, share: Double,
+        scale: Long): Option[Map[String, Long]] = {
+      counts.persist()
+      try {
+        val total = Option(counts.agg(sum(col("count"))).first.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (total >= minSampleRows || scale == 1L) {
+          val cut = math.max(1L, (total * share).toLong)
+          Some(counts.filter(col("count") > cut).collect()
+            .map(r => r.getString(0) -> r.getLong(1) * scale).toMap)
+        } else None
+      } finally counts.unpersist()
+    }
     val sampleCounts = pages
       .filter(pmod(xxhash64(col("url")), lit(100)) === 0)
       .select(domainOf.as("domain"))
       .groupBy("domain").count()
-    val sampleTotal = Option(sampleCounts.agg(sum(col("count"))).first.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    if (sampleTotal >= minSampleRows) {
-      val cut = math.max(1L, (sampleTotal * share).toLong)
-      sampleCounts.filter(col("count") > cut).collect()
-        .map(r => r.getString(0) -> r.getLong(1) * 100L).toMap
-    } else {
+    cutAndCollect(sampleCounts, share, scale = 100L).getOrElse {
       val counts = pages.select(domainOf.as("domain")).groupBy("domain").count()
-      val total = Option(counts.agg(sum(col("count"))).first.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val cut = math.max(1L, (total * share).toLong)
-      counts.filter(col("count") > cut).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      cutAndCollect(counts, share, scale = 1L).get
     }
   }
 

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.ParquetReadOptions
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
@@ -52,11 +53,38 @@ class PagesDataSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Java-serializable Hadoop Configuration carrier (the class itself is
+  * not Serializable; Spark's own wrapper is private[spark]) — lets the
+  * readers see the SESSION'S filesystem settings (s3a credentials,
+  * hdfs nameservices, spark.hadoop.*) instead of empty defaults
+  * (round-5 review: `new Configuration()` only works on a default local
+  * filesystem). */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object PagesDataSource {
   /** Seed rows per input partition (see class scaladoc: page synthesis +
     * kernel cost amplify each seed row, so splits must be much finer than
     * row groups for the extraction stage to parallelize). */
   val defaultSliceRows: Int = 256
+
+  /** Upper bound on slices per row group: a slice reader must decode its
+    * group from row 0 (parquet-mr record readers cannot seek), so S slices
+    * re-decode ~S/2 x the group's rows. Capping S bounds that
+    * amplification at a constant — and the re-decode touches only the
+    * PROJECTED seed columns (doc_id, lang[, text]), not the full file
+    * schema (round-5 review). */
+  val maxSlicesPerGroup: Int = 64
 
   val pagesSchema: StructType = StructType(Seq(
     StructField("url", StringType),
@@ -126,25 +154,32 @@ final class PagesScan(sfDir: String, required: StructType,
       s"required=${required.fieldNames.mkString(",")}, " +
       s"PushedFilters=[${pushed.mkString(", ")}])"
 
+  // the SESSION's Hadoop conf (captured at scan build on the driver):
+  // credentials/endpoints for non-local filesystems ride to the readers
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = PagesDataSource.seedPath(sfDir)
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), new Configuration())
+      new org.apache.hadoop.fs.Path(path), hadoopConf.value)
     val reader = ParquetFileReader.open(in, ParquetReadOptions.builder().build())
     try {
       val groups = reader.getRowGroups
       (0 until groups.size()).flatMap { i =>
         val rows = groups.get(i).getRowCount
-        val nSlices = math.max(1L, (rows + sliceRows - 1) / sliceRows).toInt
+        val nSlices = math.min(PagesDataSource.maxSlicesPerGroup.toLong,
+          math.max(1L, (rows + sliceRows - 1) / sliceRows)).toInt
+        val per = (rows + nSlices - 1) / nSlices
         (0 until nSlices).map(s =>
-          PagesInputPartition(path, i, s.toLong * sliceRows,
-            math.min(rows, (s + 1).toLong * sliceRows)): InputPartition)
+          PagesInputPartition(path, i, s.toLong * per,
+            math.min(rows, (s + 1).toLong * per)): InputPartition)
       }.toArray
     } finally reader.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagesReaderFactory(required.fieldNames, pushed)
+    new PagesReaderFactory(required.fieldNames, pushed, hadoopConf)
 }
 
 /** One slice = rows [rowFrom, rowUntil) of row group `rowGroup`. */
@@ -152,11 +187,12 @@ final case class PagesInputPartition(seedPath: String, rowGroup: Int,
     rowFrom: Long, rowUntil: Long) extends InputPartition
 
 final class PagesReaderFactory(requiredFields: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagesPartitionReader(partition.asInstanceOf[PagesInputPartition],
-      requiredFields, pushed)
+      requiredFields, pushed, hadoopConf)
 }
 
 /** Reads one row group of the seed table with parquet-mr and synthesizes
@@ -164,7 +200,8 @@ final class PagesReaderFactory(requiredFields: Array[String],
   * pushed lang/url filters are applied BEFORE body synthesis. */
 final class PagesPartitionReader(part: PagesInputPartition,
     requiredFields: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    hadoopConf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val needsBody =
@@ -187,25 +224,37 @@ final class PagesPartitionReader(part: PagesInputPartition,
 
   private val seeds: Iterator[(Long, String, String)] = {
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(part.seedPath), new Configuration())
+      new org.apache.hadoop.fs.Path(part.seedPath), hadoopConf.value)
     val reader = ParquetFileReader.open(in, ParquetReadOptions.builder().build())
     try {
       var skipped = 0
       while (skipped < part.rowGroup) { reader.skipNextRowGroup(); skipped += 1 }
-      val schema = reader.getFooter.getFileMetaData.getSchema
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      // PROJECTED record assembly (round-5 review): only the seed columns
+      // this reader actually consumes are materialized — a url-only pruned
+      // scan decodes (doc_id, lang) and never touches the text bytes, for
+      // this slice's rows AND the pre-slice rows it has to skip past
+      val wanted =
+        if (needsBody) Set("doc_id", "text", "lang") else Set("doc_id", "lang")
+      val requested = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => wanted.contains(f.getName)).asJava)
       val group = reader.readNextRowGroup()
-      val io = new ColumnIOFactory().getColumnIO(schema)
-      val rr = io.getRecordReader(group, new GroupRecordConverter(schema))
+      val io = new ColumnIOFactory().getColumnIO(requested, fileSchema, true)
+      val rr = io.getRecordReader(group, new GroupRecordConverter(requested))
       val out = new ArrayBuffer[(Long, String, String)](
         (part.rowUntil - part.rowFrom).toInt)
       // read rows sequentially (parquet-mr has no random access within a
-      // group), keep only this slice's [rowFrom, rowUntil) range — decoding
-      // a skipped seed row is trivial next to synthesizing its page body
+      // group), keep only this slice's [rowFrom, rowUntil) range — the
+      // skipped-row decode is bounded by maxSlicesPerGroup and touches only
+      // the projected columns
       var i = 0L
       while (i < part.rowUntil) {
         val g = rr.read()
         if (i >= part.rowFrom)
-          out += ((g.getLong("doc_id", 0), g.getString("text", 0), g.getString("lang", 0)))
+          out += ((g.getLong("doc_id", 0),
+            if (needsBody) g.getString("text", 0) else null,
+            g.getString("lang", 0)))
         i += 1
       }
       out.iterator

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   */
 object PagesSource {
 
-  val pagesSchema: StructType = graft.streaming.StreamPipeline.pagesSchema
+  val pagesSchema: StructType = PagesDataSource.pagesSchema
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(pagesSchema).parquet(path)
@@ -22,9 +22,14 @@ object PagesSource {
     df.write.mode("overwrite").parquet(path)
 
   // text-format pages: html carried as hex (single-line, unlike Spark's
-  // RFC-2045 base64 which inserts line breaks and shreds CSV rows)
+  // RFC-2045 base64 which inserts line breaks and shreds CSV rows).
+  // encode() also NORMALIZES column order to textSchema: the CSV reader
+  // maps columns by POSITION (a user schema with enforceSchema ignores the
+  // header), so a caller passing a reordered frame would otherwise write
+  // files the reader silently mis-assigns (round-5 review).
   private def encode(df: DataFrame): DataFrame =
     df.withColumn("html_hex", hex(col("html"))).drop("html")
+      .select(textSchema.fieldNames.map(col): _*)
   private def decode(df: DataFrame): DataFrame =
     df.withColumn("html", unhex(col("html_hex"))).drop("html_hex")
       .select("url", "warc_ts", "html", "text", "lang")
@@ -57,7 +62,8 @@ object PagesSource {
     * PDF-path anchors can carry newlines (X17 context windows), so the
     * reader needs multiLine and the writer must not trim. */
   def writeLinksCsv(links: DataFrame, path: String): Unit =
-    links.write.mode("overwrite")
+    links.select("url", "page", "anchor", "target") // positional reader (see encode)
+      .write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")

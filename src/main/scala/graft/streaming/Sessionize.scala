@@ -29,8 +29,12 @@ object Sessionize {
     * watermark admits no event more than `gap` behind the stored session
     * window. Raising the delay above the gap requires adding the
     * split-before case to updateState first. */
-  val watermarkDelay: String = "30 minutes"
-  require(30L * 60L * 1000000L <= gapUs,
+  val watermarkDelayMinutes: Long = 30L
+  val watermarkDelay: String = s"$watermarkDelayMinutes minutes"
+  // derived from the SAME constant the delay string renders from (round-5
+  // review: a hand-expanded literal here kept guarding the stale value
+  // when someone edited only the string)
+  require(watermarkDelayMinutes * 60L * 1000000L <= gapUs,
     "watermark delay must not exceed the session gap (see updateState merge guard)")
 
   def eventSchema: StructType = StructType(Seq(

@@ -16,13 +16,10 @@ import org.apache.spark.sql.types._
   */
 object StreamPipeline {
 
-  /** input_hint schema (BASELINE.json). */
-  val pagesSchema: StructType = StructType(Seq(
-    StructField("url", StringType),
-    StructField("warc_ts", TimestampType),
-    StructField("html", BinaryType),
-    StructField("text", StringType),
-    StructField("lang", StringType)))
+  /** input_hint schema (BASELINE.json) — SINGLE canonical definition lives
+    * with the DSv2 connector; this is an alias (round-5 review: two
+    * verbatim StructType copies could drift with no compile-time error). */
+  val pagesSchema: StructType = graft.sources.PagesDataSource.pagesSchema
 
   /** Incrementally extract new page files from `inDir` into `outDir`;
     * returns after all currently-available input is processed. */
@@ -80,7 +77,10 @@ object StreamPipeline {
       staticHotDomains: DataFrame, outDir: String, checkpointDir: String): Unit = {
     val pages = spark.readStream.schema(pagesSchema).parquet(inDir)
     val enriched = pages
-      .withColumn("domain", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      // SAME key derivation as the batch pre-pass that built the dimension
+      // (round-5 review: an inlined regex copy could drift from
+      // Pipeline.domainOf, silently turning every row is_hot=false)
+      .withColumn("domain", graft.pipeline.Pipeline.domainOf)
       .join(broadcast(staticHotDomains), Seq("domain"), "left")
       .select(col("url"), col("domain"),
         coalesce(col("is_hot"), lit(false)).as("is_hot"))
@@ -105,7 +105,12 @@ object StreamPipeline {
     val pages = spark.readStream.schema(pagesSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
     val deduped = pages
-      .withColumn("fp", md5(col("html")))
+      // null-html rows (text-only records are legal per the nullable input
+      // schema) must NOT share one null fingerprint — md5(NULL) is NULL and
+      // the state store would treat every such page as a duplicate of the
+      // first (round-5 review). A null body falls back to the url as the
+      // dedup identity.
+      .withColumn("fp", md5(coalesce(col("html"), encode(col("url"), "UTF-8"))))
       .withWatermark("warc_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
       .select(col("url"), col("warc_ts"), col("fp"))
