@@ -31,7 +31,7 @@ object Extractor {
       warcTsUs: Long = Long.MinValue, bodyOnly: Boolean = false): ExtractResult = {
     try {
       if (html == null || html.isEmpty) return fallback(text, null)
-      if (isPdf(html)) return graft.pdf.PdfExtract.extract(html, text)
+      if (isPdf(html)) return graft.pdf.PdfExtract.extract(html, text, warcTsUs)
       val dom = HtmlParser.parse(new String(html, StandardCharsets.UTF_8))
       extractHtml(dom, text, html.length.toLong, warcTsUs, bodyOnly)
     } catch {
@@ -68,8 +68,12 @@ object Extractor {
                   else Fidelity.formatEpochUs(warcTsUs),
       layoutTypes = layoutTypesOf(body))
     val (bodyText, bodySpans) = assemble(pages)
-    if (bodyText.isEmpty) {
-      // R2 strategy fallback: rich parse produced nothing -> plain text column
+    // R2 strategy fallback: rich parse produced nothing -> plain text
+    // column. "Nothing" = no span beyond the page markers assemble always
+    // emits (round-5 review: the old bodyText.isEmpty test could never
+    // fire — markers made the string non-empty even for a block-less doc,
+    // leaving the documented fallback unreachable).
+    if (bodySpans.forall(_.kind == "page_marker")) {
       val fb = fallback(textFallback, null)
       return fb.copy(meta = meta)
     }

@@ -44,9 +44,16 @@ object Compaction {
     todo
   }
 
-  /** Data files of one committed bucket dir (parquet parts only). */
+  /** Data files of one committed bucket dir (parquet parts only). The
+    * directory stream is closed eagerly (round-5 review: Files.list holds
+    * an fd until GC; periodic compaction over many buckets would
+    * accumulate them). */
   def parquetFiles(dir: Path): Vector[Path] =
     if (!Files.isDirectory(dir)) Vector.empty
-    else Files.list(dir).iterator().asScala.toVector
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
 }

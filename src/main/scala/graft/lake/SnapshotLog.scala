@@ -165,7 +165,8 @@ final class SnapshotLog(tableDir: String) {
     * `<bucket>-<v>-stage`) are re-creatable job output — both garbage. */
   def sweepStaleStages(): Unit =
     if (Files.exists(tmpDir)) {
-      val entries = Files.list(tmpDir).iterator().asScala.toVector
+      val stream = Files.list(tmpDir)
+      val entries = try stream.iterator().asScala.toVector finally stream.close()
       val replaced = "replaced-(\\d+)-\\d+".r
       entries.foreach { p =>
         p.getFileName.toString match {

@@ -80,12 +80,16 @@ object Multimodal {
   def decode(r: MediaRow): MediaMeta = {
     val b = r.media
     val magic = if (b.length >= 4) new String(b, 0, 4, "ASCII") else ""
+    // header-length guards (round-5 review): a TRUNCATED container — valid
+    // magic, short header — must take the graceful 'unknown' path like a
+    // bad magic does, not crash the whole job with an out-of-bounds read
+    // (R1-style robustness: one malformed blob never fails a task)
     magic match {
-      case "IMG1" => MediaMeta(r.media_id, r.media_type, "img1",
+      case "IMG1" if b.length >= 8 => MediaMeta(r.media_id, r.media_type, "img1",
         u16(b, 4), u16(b, 6), 0, 0, b.length.toLong)
-      case "AUD1" => MediaMeta(r.media_id, r.media_type, "aud1",
+      case "AUD1" if b.length >= 6 => MediaMeta(r.media_id, r.media_type, "aud1",
         0, 0, u16(b, 4) * 100, 0, b.length.toLong)
-      case "VID1" => MediaMeta(r.media_id, r.media_type, "vid1",
+      case "VID1" if b.length >= 6 => MediaMeta(r.media_id, r.media_type, "vid1",
         0, 0, 0, u16(b, 4), b.length.toLong)
       case _ => MediaMeta(r.media_id, r.media_type, "unknown", 0, 0, 0, 0, b.length.toLong)
     }

@@ -22,7 +22,14 @@ object PdfExtract {
   // exact pattern of hyperlink_extractor.py:277
   private val UrlPattern = """https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+""".r
 
-  def extract(bytes: Array[Byte], textFallback: String): ExtractResult = {
+  /** `warcTsUs` = the page's warc_ts in epoch micros (Long.MinValue =
+    * absent) — fills meta.crawl_date exactly like the HTML path (round-5
+    * review: the PDF branch previously dropped the timestamp, leaving
+    * crawl_date empty for the whole PDF slice of a corpus; the field is
+    * meta-only for PDFs — their text output carries no metadata comment,
+    * so goldens are unaffected). */
+  def extract(bytes: Array[Byte], textFallback: String,
+      warcTsUs: Long = Long.MinValue): ExtractResult = {
     try {
       val (pages, info) = PdfParser.parseWithInfo(bytes)
       if (pages.isEmpty || pages.forall(_.words.isEmpty))
@@ -100,7 +107,9 @@ object PdfExtract {
         // round 4: /Subject maps to the dedicated subject field (was
         // previously shoehorned into description before DocMeta grew the
         // core-props breadth fields)
-        subject = info.getOrElse("Subject", ""))
+        subject = info.getOrElse("Subject", ""),
+        crawlDate = if (warcTsUs == Long.MinValue) ""
+                    else graft.extract.Fidelity.formatEpochUs(warcTsUs))
       ExtractResult(sb.toString, spans.result(), Links.dedupKeepLongest(links.toSeq),
         meta, Vector.empty, null)
     } catch {

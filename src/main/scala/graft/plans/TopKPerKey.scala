@@ -42,6 +42,9 @@ final case class TopKPerKeyNode(
     order: SortOrder,
     k: Int,
     child: LogicalPlan) extends UnaryNode {
+  // round-5 review: k <= 0 would NPE in the exec (an empty heap's peek()
+  // feeds the generated comparator) — fail at plan construction instead
+  require(k >= 1, s"top-k per key needs k >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)

@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   * inside WholeStageCodegen. Semantics match the HOF formulation exactly:
   * double accumulation in element order over min(len) elements,
   * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))); both-zero vectors yield NaN
-  * either way. Null ARRAY inputs are null-propagated; elements are assumed
-  * non-null (embedding columns — enforced upstream).
+  * either way. Null ARRAY inputs are null-propagated. A null ELEMENT
+  * yields NaN (round-5 review: this is the one expression registered for
+  * arbitrary user SQL, and parquet array columns are containsNull=true by
+  * default, so a strict rejection like Simhash64's would refuse every
+  * real embedding column — NaN is the honest "undefined similarity" and
+  * every threshold comparison drops it). The null guard is generated only
+  * when an input's type says nulls are possible.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,14 +45,20 @@ case class CosineSim(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
   }
 
+  private def elemNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lt = elemType(left); val rt = elemType(right)
     val n = math.min(x.numElements(), y.numElements())
+    val guard = elemNullable
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (guard && (x.isNullAt(i) || y.isNullAt(i))) return Double.NaN
       val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -66,15 +77,23 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val bad = ctx.freshName("bad")
+      val nullGuard =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  double $xv = ${get(a, i, elemType(left))};
          |  double $yv = ${get(b, i, elemType(right))};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = $bad ? Double.NaN
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -108,14 +127,22 @@ case class DotProduct(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
   }
 
+  // same null-ELEMENT policy as CosineSim: NaN when a slot is null, guard
+  // generated only for types that admit nulls
+  private def elemNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lt = elemType(left); val rt = elemType(right)
     val n = math.min(x.numElements(), y.numElements())
+    val guard = elemNullable
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (guard && (x.isNullAt(i) || y.isNullAt(i))) return Double.NaN
       val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
@@ -132,13 +159,20 @@ case class DotProduct(left: Expression, right: Expression)
       }
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("bad")
+      val nullGuard =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $dot += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};
          |}
-         |${ev.value} = $dot;
+         |${ev.value} = $bad ? Double.NaN : $dot;
        """.stripMargin
     })
 

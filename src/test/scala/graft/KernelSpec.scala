@@ -274,6 +274,17 @@ class KernelSpec extends AnyFunSuite {
     assert(res.spans == Vector(Span(0, 15, "fallback")))
   }
 
+  test("extract falls back to the text column when the parse yields no content (R2)") {
+    // html parses fine but every element is boilerplate -> zero content
+    // blocks; the reference (powerpoint_processor.py:196-203) falls back to
+    // the plain text with NO error recorded
+    val html = "<html><body><nav>home products about contact</nav></body></html>"
+    val res = Extractor.extract(html.getBytes("UTF-8"), "plain text body")
+    assert(res.extractedText == "plain text body")
+    assert(res.error == null)
+    assert(res.spans == Vector(Span(0, 15, "fallback")))
+  }
+
   test("extract handles megabyte-scale documents") {
     val sb = new StringBuilder("<html><body><main>")
     var i = 0

@@ -31,6 +31,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(junk).format == "unknown")
   }
 
+  test("decode tolerates truncated containers (valid magic, short header)") {
+    // round-5 review: these crashed with ArrayIndexOutOfBoundsException
+    // instead of taking the graceful 'unknown' path
+    for (magic <- Seq("IMG1", "AUD1", "VID1")) {
+      val bare = Multimodal.MediaRow(9L, "image", magic.getBytes("ASCII"))
+      assert(Multimodal.decode(bare).format == "unknown", magic)
+      val short = Multimodal.MediaRow(9L, "image", (magic + "\u0001").getBytes("ASCII"))
+      assert(Multimodal.decode(short).format == "unknown", magic)
+    }
+  }
+
   test("mm_features byte histogram gated against an independent recomputation") {
     // the quality gate for the last rows-only query (VERDICT r3 #5): the
     // histogram kernel cross-checked bin-for-bin by a straightforward

@@ -458,6 +458,10 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .view.mapValues(_.map(_._2).sorted.toSeq).toMap
       assert(viaCapped == viaWindow, "capped partial changed the result")
     } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+    // k <= 0 is rejected at plan construction, not an executor NPE
+    intercept[IllegalArgumentException] {
+      GraftBridge.topKPerKey(orders, Seq("o_custkey"), "o_totalprice", 0)
+    }
   }
 
   test("dd_embed_neardup (banded LSH + exact rerank) equals brute force, no BNLJ") {
@@ -734,6 +738,17 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.split("\n").exists(l =>
       l.contains("graft_cosine") && l.trim.stripPrefix("+- ").startsWith("*(")), plan)
+    // null ELEMENTS yield NaN (round-5 review: the SQL-registered cosine
+    // previously read undefined bytes on a null slot); non-null arrays of
+    // a containsNull=true type still compute exactly
+    val sp2 = spark
+    import sp2.implicits._
+    val nd = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 0.0), Seq[java.lang.Double](1.0, 0.0)))
+      .toDF("a", "b")
+      .select(graft.ops.Ann.cosine(col("a"), col("b")).as("s")).collect()
+    assert(nd(0).getDouble(0).isNaN)
+    assert(math.abs(nd(1).getDouble(0) - 1.0) < 1e-12)
   }
 
   test("fused HyperplaneSigs equals the per-band unfused signature formulation") {
