@@ -136,44 +136,32 @@ object Pipeline {
 
   /** Hot domains: any domain holding more than `share` of rows is salted
     * across the full bucket space (SURVEY.md §4 partitioning row). Returns
-    * domain -> estimated rowCount.
+    * domain -> rowCount for domains above the cut (bounded: at most
+    * 1/share of them can exist).
     *
-    * The pre-pass is SAMPLED: a deterministic ~1% url-hash sample feeds the
-    * groupBy, so the scan touches 1% of the table instead of two full
-    * passes (count + groupBy). Hot domains hold >= `share` (2%) of rows, so
-    * a 1% sample still sees thousands of their rows at any scale where skew
-    * matters; the estimate is scaled back by the sample rate. Inputs whose
-    * SAMPLE is below `minSampleRows` fall back to one full groupBy pass —
-    * "small" is then by definition cheap, and exactness matters more there.
-    * Only domains above the cut are collected to the driver (bounded:
-    * at most 1/share of them can exist). */
-  def hotDomains(pages: DataFrame, share: Double = defaultHotThresholdShare,
-      minSampleRows: Long = 10000L): Map[String, Long] = {
-    // each aggregated frame feeds TWO actions (total, then the filtered
-    // collect); persist the tiny aggregate so the scan+groupBy runs once,
-    // not twice per branch (round-5 review — the fallback branch was
-    // otherwise exactly the "two full passes" the docstring disclaims)
-    def cutAndCollect(counts: DataFrame, share: Double,
-        scale: Long): Option[Map[String, Long]] = {
-      counts.persist()
-      try {
-        val total = Option(counts.agg(sum(col("count"))).first.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        if (total >= minSampleRows || scale == 1L) {
-          val cut = math.max(1L, (total * share).toLong)
-          Some(counts.filter(col("count") > cut).collect()
-            .map(r => r.getString(0) -> r.getLong(1) * scale).toMap)
-        } else None
-      } finally counts.unpersist()
-    }
-    val sampleCounts = pages
-      .filter(pmod(xxhash64(col("url")), lit(100)) === 0)
-      .select(domainOf.as("domain"))
-      .groupBy("domain").count()
-    cutAndCollect(sampleCounts, share, scale = 100L).getOrElse {
-      val counts = pages.select(domainOf.as("domain")).groupBy("domain").count()
-      cutAndCollect(counts, share, scale = 1L).get
-    }
+    * ONE full groupBy pass (round 6). The previous sampled pre-pass
+    * (filter 1% of rows by url-hash, then group) never reduced the scan —
+    * a hash-mod filter cannot be pushed into any source, so every url was
+    * read either way — and saved only the partial-aggregation probes on
+    * the filtered-out rows, at roughly the price of the xxhash64 it spent
+    * deciding them. Below its 10k-sample floor it then re-scanned the
+    * whole input a second time, which is the measured common case at every
+    * bench scale (2 scans + 4 actions -> 1 scan + 2 actions, ~2.6s ->
+    * ~1.2s steady-state at sf0.1). The groupBy is map-side combinable, so
+    * shuffle bytes are bounded by distinct-domains-per-task at any scale.
+    * The tiny per-domain aggregate feeds two actions (total, then the
+    * filtered collect), so it is persisted for the pair. */
+  def hotDomains(pages: DataFrame,
+      share: Double = defaultHotThresholdShare): Map[String, Long] = {
+    val counts = pages.select(domainOf.as("domain")).groupBy("domain").count()
+    counts.persist()
+    try {
+      val total = Option(counts.agg(sum(col("count"))).first.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val cut = math.max(1L, (total * share).toLong)
+      counts.filter(col("count") > cut).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally counts.unpersist()
   }
 
   /** Bucket expression: cold domains co-locate by domain hash (politeness /

@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Extra (non-frozen) benchmark harness for the optimization rounds —
+  * `Bench.scala` is hash-frozen, so all additional measurement lives here.
+  * Methodology mirrors Bench exactly (same session confs, same `count()`
+  * action, cold + min-of-2-warm) so numbers are comparable with BENCH.md;
+  * a `noop` mode additionally isolates computation from the count shortcut
+  * per the optimization guide §1.4.
+  *
+  * Usage: `sbt "runMain graft.tools.BenchExtra <mode> [args...]"`
+  *   split                         phase split of the extracted-table commit
+  *   plans <outDir> <suffix> [q..] write .explain("formatted") per query
+  *   time  [q...]                  Bench-identical count() timing
+  *   noop  [q...]                  noop-sink timing (full-column compute)
+  * Reads SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like Bench.
+  */
+object BenchExtra {
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val mode = if (args.nonEmpty) args(0) else "time"
+    val s = session(cpus)
+    def d(v: Double): String = f"$v%.3f"
+
+    mode match {
+      case "split" =>
+        def timed(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"PHASE $label%-16s ${d((System.nanoTime() - t0) / 1e9)}%8s s")
+        }
+        timed("warmup_job")(s.range(1000L).selectExpr("sum(id)").collect())
+        timed("hot_domains_1")(graft.pipeline.Pipeline.hotDomains(
+          graft.pipeline.Pipeline.pages(s, sfDir)))
+        timed("hot_domains_2")(graft.pipeline.Pipeline.hotDomains(
+          graft.pipeline.Pipeline.pages(s, sfDir)))
+        graft.lake.ResumableRun.onPhase =
+          (n, sec) => println(f"PHASE $n%-16s ${d(sec)}%8s s")
+        timed("total_commit")(
+          graft.pipeline.Pipeline.extractedCommitted(s, sfDir).count())
+        timed("read_count_warm")(
+          graft.pipeline.Pipeline.extractedCommitted(s, sfDir).count())
+
+      case "stagex" =>
+        // isolate the staging-write cost: kernel-only (noop) vs plain
+        // parquet vs dynamic-partition parquet, all on the same extracted df
+        def timed(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"PHASE $label%-18s ${d((System.nanoTime() - t0) / 1e9)}%8s s")
+        }
+        timed("warmup_job")(s.range(1000L).selectExpr("sum(id)").collect())
+        val pages = graft.pipeline.Pipeline.pages(s, sfDir)
+        val hot = graft.pipeline.Pipeline.hotDomains(pages).keySet
+        val bucket = graft.pipeline.Pipeline.saltedBucket(hot, 16)
+        val extracted = graft.pipeline.Pipeline.extracted(pages)
+          .withColumn("bucket", bucket)
+        val base = java.nio.file.Files.createTempDirectory("graft-stagex-")
+        (1 to 3).foreach { pass =>
+          timed(s"noop_$pass")(
+            extracted.write.format("noop").mode("overwrite").save())
+          timed(s"parquet_flat_$pass")(extracted.write.mode("overwrite")
+            .parquet(base.resolve(s"flat$pass").toString))
+          timed(s"parquet_part_$pass")(extracted.write.mode("overwrite")
+            .partitionBy("bucket").parquet(base.resolve(s"part$pass").toString))
+          timed(s"parquet_hashdist_$pass")(
+            extracted.repartition(16, org.apache.spark.sql.functions.col("bucket"))
+              .write.mode("overwrite")
+              .partitionBy("bucket").parquet(base.resolve(s"hash$pass").toString))
+        }
+        val du = new ProcessBuilder("du", "-sh", base.toString).start()
+        println(new String(du.getInputStream.readAllBytes(), "UTF-8"))
+        println("files: " + java.nio.file.Files.walk(base)
+          .filter(p => p.toString.endsWith(".parquet")).count())
+        graft.lake.SnapshotLog.deleteRecursively(base)
+
+      case "plans" =>
+        val outDir = java.nio.file.Paths.get(args(1))
+        java.nio.file.Files.createDirectories(outDir)
+        val suffix = args(2)
+        val names =
+          if (args.length > 3) args.drop(3).toSeq
+          else graft.SparkEntry.queries.keys.toSeq.sorted
+        names.foreach { q =>
+          val df = graft.SparkEntry.queries(q)(s, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(outDir.resolve(s"${q}_$suffix.txt"),
+            plan.getBytes("UTF-8"))
+          println(s"wrote ${q}_$suffix.txt")
+        }
+
+      case "time" | "noop" =>
+        def run(name: String): Unit = {
+          val fn = graft.SparkEntry.queries(name)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val df = fn(s, sfDir)
+            if (mode == "noop")
+              df.write.format("noop").mode("overwrite").save()
+            else df.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cold = once(); val w1 = once(); val w2 = once()
+          println(f"QUERY $name%-22s cold=${d(cold)}%8s warm=${d(math.min(w1, w2))}%8s")
+        }
+        // one-time costs first, mirroring Bench's ordering
+        def timeIt(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(s"ONETIME session_first_job " +
+          d(timeIt(s.range(1000L).selectExpr("sum(id)").collect())))
+        println(s"ONETIME extracted_table_commit " +
+          d(timeIt(graft.pipeline.Pipeline.extractedCommitted(s, sfDir).count())))
+        println(s"ONETIME ivf_centroid_training " +
+          d(timeIt(graft.ops.Ann.trainCentroidsCached(
+            s.read.parquet(s"$sfDir/embeddings.parquet"),
+            s.sparkContext.applicationId + "|" + sfDir, k = 16, iters = 2))))
+        println(s"ONETIME bucketed_tables_build " +
+          d(timeIt(graft.SparkEntry.bucketedDb(s, sfDir))))
+        val names =
+          if (args.length > 1) args.drop(1).toSeq
+          else graft.SparkEntry.queries.keys.toSeq.sorted
+        names.foreach(run)
+
+      case other =>
+        System.err.println(s"unknown mode: $other")
+    }
+    s.stop()
+  }
+}

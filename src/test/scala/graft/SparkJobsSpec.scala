@@ -987,12 +987,44 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fullT > 0 && prunedT == fullT)
   }
 
+  test("hash-distributed staging writes one file per bucket; observe-stats equal a recomputation") {
+    val dir = tmp()
+    ResumableRun.run(spark, pages, dir, nBuckets = 8)
+    val log = new SnapshotLog(dir)
+    // round 6: staging repartitions by bucket before the partitioned write
+    // (Iceberg hash distribution), so each bucket dir holds at most one
+    // data file instead of tasks-x-buckets fragments
+    log.committedBuckets().foreach { b =>
+      assert(graft.lake.Compaction.parquetFiles(log.bucketDataDir(b)).size <= 1,
+        s"bucket $b fragmented") }
+    // manifest stats now come from observe() on the staging job — they must
+    // equal an independent aggregation over the committed data
+    val stats = log.bucketStats()
+    assert(stats.nonEmpty)
+    stats.foreach { case (b, s) =>
+      val r = spark.read.parquet(log.bucketDataDir(b).toString)
+        .agg(min(col("url")), max(col("url")), min(col("lang")), max(col("lang")),
+          date_format(min(col("warc_ts")), "yyyy-MM-dd HH:mm:ss"),
+          date_format(max(col("warc_ts")), "yyyy-MM-dd HH:mm:ss")).first()
+      assert(s.urlMin == r.getString(0) && s.urlMax == r.getString(1), s"url bounds b=$b")
+      assert(s.langMin == r.getString(2) && s.langMax == r.getString(3), s"lang bounds b=$b")
+      assert(s.tsMin == r.getString(4) && s.tsMax == r.getString(5), s"ts bounds b=$b")
+    }
+  }
+
   test("compaction rewrites fragmented buckets; time travel survives; manifest expiry bounds the log") {
     val dir = tmp()
     val nBuckets = 4
-    // repartitioned input => several files land in each bucket dir
-    ResumableRun.run(spark, pages.repartition(3), dir, nBuckets)
+    ResumableRun.run(spark, pages, dir, nBuckets)
     val log = new SnapshotLog(dir)
+    // round 6: the hash-distributed staging write lays each bucket out as
+    // ONE file, so the write itself no longer fragments; fragment a bucket
+    // explicitly (the append / maxRecordsPerFile-split history compaction
+    // exists for) by re-committing the same rows as 3 files
+    val staged0 = log.stagingDir(0)
+    spark.read.parquet(log.bucketDataDir(0).toString).repartition(3)
+      .write.parquet(staged0.toString)
+    log.commitBucket(0, staged0) // same rows: stats carry forward
     val before = ResumableRun.readTable(spark, dir).count()
     assert(before > 0)
     val vPre = log.latestVersion()
