@@ -38,10 +38,20 @@ object SparkEntry {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try graft.lake.SnapshotLog.deleteRecursively(loc) catch { case _: Throwable => () }))
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      t(s, dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(s"$db.orders_b")
-      t(s, dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+      // the two builds are independent jobs — submit them concurrently so
+      // the second back-fills executors the first's tail leaves idle
+      // (optimization guide §2.6); Spark's scheduler runs both fine, and
+      // catalog writes target different tables
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").map {
+          case (tbl, key) => pool.submit(new Runnable {
+            def run(): Unit =
+              t(s, dir, tbl).write.bucketBy(8, key).sortBy(key)
+                .mode("overwrite").saveAsTable(s"$db.${tbl}_b")
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
       db
     })
   }

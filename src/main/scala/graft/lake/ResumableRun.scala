@@ -239,7 +239,11 @@ object ResumableRun {
     * recorded (url, lang) bounds MAY satisfy every bound are opened. The
     * caller must still apply the row-level filter — this shrinks the scan,
     * it does not filter rows (same contract as partition pruning). On an
-    * empty survivor set, returns an empty frame with the table schema. */
+    * empty survivor set, returns an empty frame with the table schema;
+    * a table with ZERO committed buckets has no schema to serve and throws
+    * readTable's clear "no committed snapshots" error instead (ADVICE r5
+    * clarification). warc_ts bounds must be UTC-rendered — build them with
+    * [[ColBound.warcTs]]. */
   def readTablePruned(spark: SparkSession, tableDir: String,
       bounds: Seq[ColBound]): DataFrame = {
     val (keep, _) = prunedPaths(tableDir, bounds)

@@ -167,13 +167,21 @@ final class SnapshotLog(tableDir: String) {
     if (Files.exists(tmpDir)) {
       val stream = Files.list(tmpDir)
       val entries = try stream.iterator().asScala.toVector finally stream.close()
-      val replaced = "replaced-(\\d+)-\\d+".r
-      entries.foreach { p =>
+      val replaced = "replaced-(\\d+)-(\\d+)".r
+      // ADVICE r5: if several replaced-<bucket>-<v> dirs for one bucket ever
+      // coexist (two crashed re-commits without an intervening sweep), the
+      // HIGHEST version is the newest committed data — restore that one and
+      // let the generic sweep below collect the stale lower versions, so
+      // filesystem listing order can never resurrect an old copy.
+      entries.flatMap { p =>
         p.getFileName.toString match {
-          case replaced(b) if !Files.exists(bucketDataDir(b.toInt)) =>
-            Files.move(p, bucketDataDir(b.toInt), StandardCopyOption.ATOMIC_MOVE)
-          case _ => ()
+          case replaced(b, v) => Some((b.toInt, v.toInt, p))
+          case _ => None
         }
+      }.groupBy(_._1).foreach { case (b, dirs) =>
+        if (!Files.exists(bucketDataDir(b)))
+          Files.move(dirs.maxBy(_._2)._3, bucketDataDir(b),
+            StandardCopyOption.ATOMIC_MOVE)
       }
       entries.filter { p =>
         val n = p.getFileName.toString
@@ -212,10 +220,19 @@ final case class BucketStats(urlMin: String, urlMax: String,
     langMin: String, langMax: String, tsMin: String = "", tsMax: String = "")
 
 /** A pushable bucket-pruning predicate: `col op value` with op in
-  * {"=", "<=", ">="} over the stats-tracked columns ("url", "lang").
-  * Pruning is CONSERVATIVE: a bucket is skipped only when its recorded
-  * bounds prove no row can match; missing stats keep the bucket. Callers
-  * must still apply the row-level filter — pruning only shrinks the scan. */
+  * {"=", "<=", ">="} over the stats-tracked columns ("url", "lang",
+  * "warc_ts"). Pruning is CONSERVATIVE: a bucket is skipped only when its
+  * recorded bounds prove no row can match; missing stats keep the bucket.
+  * Callers must still apply the row-level filter — pruning only shrinks
+  * the scan.
+  *
+  * warc_ts CONTRACT (ADVICE r5): manifest timestamp bounds are rendered in
+  * UTC (`yyyy-MM-dd HH:mm:ss`), so a warc_ts `value` MUST be the UTC
+  * rendering of the intended instant — build it with [[ColBound.warcTs]]
+  * from a [[java.time.Instant]] rather than a hand-formatted string. A
+  * value rendered in the session time zone of a non-UTC session would
+  * compare as a DIFFERENT instant than the row-level filter built from the
+  * same string, and the prune could skip buckets the filter keeps. */
 final case class ColBound(col: String, op: String, value: String) {
   require(col == "url" || col == "lang" || col == "warc_ts",
     s"no stats for column $col")
@@ -240,6 +257,20 @@ final case class ColBound(col: String, op: String, value: String) {
       case ">=" => hi < value // even the largest row is below the bound
     }
   }
+}
+
+object ColBound {
+  private val utcFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.ROOT)
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Timezone-proof warc_ts bound: renders `at` in UTC to match how
+    * ResumableRun records manifest bounds, regardless of the session or
+    * JVM time zone (ADVICE r5). Pair the row-level filter with the same
+    * instant (e.g. `col("warc_ts") >= lit(Timestamp.from(at))`), never
+    * with a re-parsed string. */
+  def warcTs(op: String, at: java.time.Instant): ColBound =
+    ColBound("warc_ts", op, utcFmt.format(at))
 }
 
 object SnapshotLog {

@@ -443,10 +443,21 @@ object OpsQueries {
         col("vec_id").as("cand_id"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("cand_id").asc)
+      // round 6: compute sim BEFORE the multi-band dedup and dedup via
+      // groupBy(query_id, cand_id).agg(max(sim)). sim is identical on every
+      // duplicate of a pair (same two vectors), so results are unchanged —
+      // but a double aggregates in a HashAggregate, where the previous
+      // dropDuplicates dragged the qe/ce ARRAY columns through first()
+      // buffers and planned a SortAggregate (3 extra Sorts in the r5 plan).
+      // The explicit repartition on query_id alone (the window's
+      // partitioning) satisfies both the dedup's and the window's
+      // clustering, collapsing their two Exchanges into one; partition
+      // count follows spark.sql.shuffle.partitions, not a constant.
       c.join(broadcast(q), Seq("band", "sig"))
         .filter(col("query_id") =!= col("cand_id"))
-        .dropDuplicates("query_id", "cand_id")
         .withColumn("sim", cosine(col("qe"), col("ce")))
+        .repartition(col("query_id"))
+        .groupBy(col("query_id"), col("cand_id")).agg(max(col("sim")).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("sim"), 4).as("sim"))

@@ -109,8 +109,12 @@ object StreamPipeline {
       // schema) must NOT share one null fingerprint — md5(NULL) is NULL and
       // the state store would treat every such page as a duplicate of the
       // first (round-5 review). A null body falls back to the url as the
-      // dedup identity.
-      .withColumn("fp", md5(coalesce(col("html"), encode(col("url"), "UTF-8"))))
+      // dedup identity. The identity spaces are tagged ('h:' body bytes vs
+      // 'u:' url bytes) so a body that happens to equal some null-html
+      // record's url bytes can never collide with it (ADVICE r5).
+      .withColumn("fp", md5(coalesce(
+        concat(encode(lit("h:"), "UTF-8"), col("html")),
+        concat(encode(lit("u:"), "UTF-8"), encode(col("url"), "UTF-8")))))
       .withWatermark("warc_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
       .select(col("url"), col("warc_ts"), col("fp"))

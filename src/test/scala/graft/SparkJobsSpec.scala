@@ -496,7 +496,7 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("ann_ivf recall@5 vs brute-force ann_topk is at least 0.5") {
+  test("ann_ivf recall@5 vs brute-force ann_topk is at least 0.65") {
     val dir = "/root/testdata/sf0.001"
     def top5(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, dir).collect()
@@ -506,7 +506,10 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ivf = top5("ann_ivf")
     val recalls = exact.map { case (q, t) => ivf.getOrElse(q, Set.empty).intersect(t).size / 5.0 }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"ann_ivf mean recall@5 = $mean (per-query: $recalls)")
+    // VERDICT r5 #6: pinned just below the bracketed measurement (~0.74)
+    // instead of the original 0.5 slack — a 30% recall regression (e.g.
+    // nprobe dropping to 1, which measures 0.52) now fails the gate
+    assert(mean >= 0.65, s"ann_ivf mean recall@5 = $mean (per-query: $recalls)")
   }
 
   test("dd_minhash_lsh and dd_simhash surface planted mutated-copy twins") {

@@ -77,6 +77,36 @@ class SnapshotLogSpec extends AnyFunSuite {
     SnapshotLog.deleteRecursively(root)
   }
 
+  test("two coexisting replaced-* dirs: the HIGHEST version is restored, the stale one swept") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val root = Files.createTempDirectory("snaplog-test")
+    val log = new SnapshotLog(root.toString)
+    log.init()
+    val staged = root.resolve("_tmp").resolve("5-0-stage")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-0.parquet"), "V2".getBytes("UTF-8"))
+    log.commitBucket(5, staged)
+    // simulate the ADVICE r5 scenario: an OLD crashed swap left replaced-5-1
+    // (stale data), then a newer re-commit to the same bucket also crashed
+    // mid-swap, leaving the current committed data in replaced-5-3
+    val stale = root.resolve("_tmp").resolve("replaced-5-1")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-0.parquet"), "V1-STALE".getBytes("UTF-8"))
+    Files.move(log.bucketDataDir(5), root.resolve("_tmp").resolve("replaced-5-3"),
+      StandardCopyOption.ATOMIC_MOVE)
+    log.sweepStaleStages()
+    assert(new String(Files.readAllBytes(
+      log.bucketDataDir(5).resolve("part-0.parquet")), "UTF-8") == "V2")
+    assert(!Files.exists(stale))
+    SnapshotLog.deleteRecursively(root)
+  }
+
+  test("ColBound.warcTs renders the instant in UTC regardless of JVM zone") {
+    val at = java.time.Instant.parse("2023-11-14T22:13:20Z")
+    assert(ColBound.warcTs(">=", at) ==
+      ColBound("warc_ts", ">=", "2023-11-14 22:13:20"))
+  }
+
   test("ColBound pruning truth table") {
     val s = BucketStats("https://c.example", "https://m.example", "de", "fr",
       "2023-11-14 00:00:00", "2023-11-15 00:00:00")
