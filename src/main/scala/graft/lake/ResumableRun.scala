@@ -162,6 +162,9 @@ object ResumableRun {
       case i: java.time.Instant => utcFmt.format(i)
       case other => other.toString
     }
+    // an all-NULL column in a bucket yields a null bound — record it as ""
+    // (= unknown, never prunes) instead of NPE-ing the commit
+    def str(v: Any): String = if (v == null) "" else v.toString
     val stats: Map[Int, BucketStats] = phase("stats_agg") {
       obs match {
         case Some(o) =>
@@ -169,8 +172,8 @@ object ResumableRun {
           chunk.flatMap { b =>
             m(s"u0_$b") match {
               case null => None // empty bucket: no bounds to record
-              case umin => Some(b -> BucketStats(umin.toString,
-                m(s"u1_$b").toString, m(s"l0_$b").toString, m(s"l1_$b").toString,
+              case umin => Some(b -> BucketStats(str(umin),
+                str(m(s"u1_$b")), str(m(s"l0_$b")), str(m(s"l1_$b")),
                 fmtAny(m(s"t0_$b")), fmtAny(m(s"t1_$b"))))
             }
           }.toMap
@@ -186,9 +189,12 @@ object ResumableRun {
             .collect()
             .flatMap { r =>
               if (r.isNullAt(1)) None // empty bucket: no bounds to record
-              else Some(r.getInt(0) -> BucketStats(r.getString(1), r.getString(2),
-                r.getString(3), r.getString(4),
-                fmtAny(r.getTimestamp(5)), fmtAny(r.getTimestamp(6))))
+              // r.get + str/fmtAny (not getString/getTimestamp): null-safe
+              // and independent of spark.sql.datetime.java8API.enabled
+              // (Instant vs Timestamp external type)
+              else Some(r.getInt(0) -> BucketStats(str(r.get(1)), str(r.get(2)),
+                str(r.get(3)), str(r.get(4)),
+                fmtAny(r.get(5)), fmtAny(r.get(6))))
             }.toMap
       }
     }

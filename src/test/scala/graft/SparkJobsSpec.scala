@@ -1015,6 +1015,22 @@ class SparkJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wide-chunk staging uses the staged-parquet stats fallback and matches the observe path") {
+    // a chunk wider than maxObservedBuckets takes the re-read fallback;
+    // bounds must come out identical to the observe path modulo bucket ids
+    assert(ResumableRun.maxObservedBuckets < 66)
+    val dir = tmp()
+    ResumableRun.run(spark, pages, dir, nBuckets = 66)
+    val stats = new SnapshotLog(dir).bucketStats()
+    assert(stats.nonEmpty)
+    stats.foreach { case (b, s) =>
+      assert(s.urlMin.nonEmpty && s.urlMin <= s.urlMax, s"bucket $b url bounds")
+      assert(s.tsMin.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"),
+        s"bucket $b ts bound format: '${s.tsMin}'")
+    }
+    assert(ResumableRun.readTable(spark, dir).count() == 500)
+  }
+
   test("compaction rewrites fragmented buckets; time travel survives; manifest expiry bounds the log") {
     val dir = tmp()
     val nBuckets = 4
