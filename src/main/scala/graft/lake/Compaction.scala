@@ -34,12 +34,27 @@ object Compaction {
     log.sweepStaleStages()
     val todo = log.committedBuckets().toVector.sorted
       .filter(b => parquetFiles(log.bucketDataDir(b)).size > maxFiles)
-    todo.foreach { b =>
-      val staged = log.stagingDir(b)
-      spark.read.parquet(log.bucketDataDir(b).toString)
-        .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(staged.toString)
-      log.commitBucket(b, staged)
+    // Round 6 (guide §2.6): the per-bucket rewrite jobs are independent —
+    // run a few concurrently so one bucket's task tail doesn't idle the
+    // cluster between jobs. Staging paths are computed UP FRONT (they
+    // embed latestVersion, which the commit loop advances) and the
+    // manifest commits stay strictly sequential: the snapshot log is
+    // single-writer by contract.
+    val staged = todo.map(b => b -> log.stagingDir(b))
+    if (staged.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, staged.size))
+      try {
+        staged.map { case (b, dir) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              spark.read.parquet(log.bucketDataDir(b).toString)
+                .coalesce(targetFiles)
+                .write.mode("overwrite").parquet(dir.toString)
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      staged.foreach { case (b, dir) => log.commitBucket(b, dir) }
     }
     todo
   }
