@@ -85,6 +85,83 @@ object BenchExtra {
           .filter(p => p.toString.endsWith(".parquet")).count())
         graft.lake.SnapshotLog.deleteRecursively(base)
 
+      case "scale" =>
+        // VERDICT r5 #8 (stretch): drive the extraction -> snapshot-commit ->
+        // stats-pruned-read pipeline end to end at `factor` x the committed-
+        // table volume (factor 64 = 320k pages, the bench extraction corpus
+        // size). The replicated corpus is first MATERIALIZED to parquet so
+        // the pipeline runs over a real stored table with column pruning
+        // (the typed replication flatMap is a synthesis black box), then the
+        // standard ResumableRun commits it into a time-clustered partition
+        // spec and a warc_ts-bounded read is answered with bucket-stats
+        // pruning. All timings labeled; nothing here feeds the frozen bench.
+        import org.apache.spark.sql.functions._
+        val factor = if (args.length > 1) args(1).toInt else 64
+        val nBuckets = if (args.length > 2) args(2).toInt else 64
+        def timed(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"PHASE $label%-22s ${d((System.nanoTime() - t0) / 1e9)}%8s s")
+        }
+        timed("warmup_job")(s.range(1000L).selectExpr("sum(id)").collect())
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-")
+        val corpusDir = base.resolve("pages").toString
+        val tableDir = base.resolve("table").toString
+        try {
+          // many output files (like any real stored crawl): one parquet
+          // file/row group is unsplittable, which would serialize the
+          // compute-amplified extraction scan no matter the split size
+          timed(s"materialize_${factor}x")(
+            graft.pipeline.Pipeline.pagesReplicated(s, sfDir, factor)
+              .repartition(cpus * 4).write.parquet(corpusDir))
+          val corpusBytes = java.nio.file.Files
+            .walk(java.nio.file.Paths.get(corpusDir))
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          // the synthetic corpus compresses absurdly well, so the default
+          // 128 MB split would plan a handful of scan tasks for a
+          // compute-amplified extraction (guide 6: split size must follow
+          // WORK, not bytes — the same reason the DSv2 connector sub-slices
+          // row groups); size splits so ~4 tasks/core exist
+          s.conf.set("spark.sql.files.maxPartitionBytes",
+            math.max(1L << 20, corpusBytes / (cpus * 4L)).toString)
+          val pages = s.read.parquet(corpusDir)
+          val docs = pages.count()
+          println(s"corpus docs=$docs  bytes=$corpusBytes")
+          graft.lake.ResumableRun.onPhase =
+            (n, sec) => println(f"PHASE $n%-22s ${d(sec)}%8s s")
+          // time-clustered partition spec: contiguous warc_ts ranges, one
+          // window per bucket across the corpus span, so warc_ts stats
+          // prune (the SparkJobsSpec pruning vector, scaled — a mod over
+          // fixed 6h windows would WRAP at this span and defeat pruning)
+          val windowSec = math.max(1L, docs * 600L / nBuckets + 1)
+          val spec = pmod(floor((col("warc_ts").cast("long") - 1700000000L)
+            / windowSec), lit(nBuckets))
+          val t0 = System.nanoTime()
+          graft.lake.ResumableRun.run(s, pages, tableDir, nBuckets,
+            bucketExpr = Some(spec))
+          val commitSec = (System.nanoTime() - t0) / 1e9
+          println(f"PHASE commit_pipeline_total ${d(commitSec)}%8s s " +
+            f"(${docs / commitSec}%.0f docs/s end-to-end)")
+          val n = graft.lake.ResumableRun.readTable(s, tableDir).count()
+          println(s"table rows=$n")
+          // stats-pruned time-range read vs full-scan equality
+          val cut = java.time.Instant.ofEpochSecond(1700000000L + docs / 2 * 600)
+          val bound = graft.lake.ColBound.warcTs(">=", cut)
+          val (keep, skip) = graft.lake.ResumableRun.prunedPaths(tableDir, Seq(bound))
+          println(s"pruned read: buckets kept=${keep.size} skipped=${skip.size}")
+          val rowFilter = col("warc_ts") >= lit(java.sql.Timestamp.from(cut))
+          var full = 0L; var pruned = 0L
+          timed("read_full_scan") {
+            full = graft.lake.ResumableRun.readTable(s, tableDir)
+              .filter(rowFilter).count()
+          }
+          timed("read_stats_pruned") {
+            pruned = graft.lake.ResumableRun.readTablePruned(s, tableDir, Seq(bound))
+              .filter(rowFilter).count()
+          }
+          println(s"range rows: full=$full pruned=$pruned equal=${full == pruned}")
+        } finally graft.lake.SnapshotLog.deleteRecursively(base)
+
       case "jx" =>
         // piecewise timing of dd_jaccard_lsh internals (round-6 diagnosis)
         import org.apache.spark.sql.functions._
