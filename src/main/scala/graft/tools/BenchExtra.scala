@@ -214,6 +214,18 @@ object BenchExtra {
           }
         }
 
+      case "dump" =>
+        // materialize named query outputs to parquet (Verify-style) for
+        // before/after byte-diffs when a declared query is reformulated
+        val outDir = java.nio.file.Paths.get(args(1))
+        java.nio.file.Files.createDirectories(outDir)
+        args.drop(2).foreach { q =>
+          graft.SparkEntry.queries(q)(s, sfDir)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(outDir.resolve(q).toString)
+          println(s"dumped $q")
+        }
+
       case "plans" =>
         val outDir = java.nio.file.Paths.get(args(1))
         java.nio.file.Files.createDirectories(outDir)
